@@ -1,0 +1,45 @@
+"""TPU-native point-cloud primitive ops.
+
+This package is the full "native surface" of the reference
+(SURVEY.md section 2.3): everything the reference delegated to external
+CUDA/C++ (pytorch3d kNN + chamfer, PyTorchEMD auction, Open3D FPS) plus its
+pure-torch primitives, re-designed for XLA/MXU.
+"""
+
+from .ball import ball_query
+from .chamfer import (
+    chamfer_distance,
+    chamfer_loss_cf,
+    chamfer_per_sample,
+    min_sqdist,
+    nearest_neighbor_idx,
+)
+from .distance import pdist2squared, square_distance
+from .emd import emd, emd_assignment_dist
+from .fps import fps, fps_points
+from .gather import index_points, knn_gather
+from .interpolate import three_nn_interpolate
+from .knn import knn, knn_points
+from .polyfit import polyfit_eval, polyfit_eval_xyz
+
+__all__ = [
+    "ball_query",
+    "chamfer_distance",
+    "chamfer_loss_cf",
+    "chamfer_per_sample",
+    "min_sqdist",
+    "nearest_neighbor_idx",
+    "pdist2squared",
+    "square_distance",
+    "emd",
+    "emd_assignment_dist",
+    "fps",
+    "fps_points",
+    "index_points",
+    "knn_gather",
+    "three_nn_interpolate",
+    "knn",
+    "knn_points",
+    "polyfit_eval",
+    "polyfit_eval_xyz",
+]

@@ -1,0 +1,52 @@
+"""Radius (ball) query with a fixed neighbor budget.
+
+Mirrors /root/reference/Utils/Pointnet2Utils.py:88-108 semantics exactly:
+for each query point, take the first ``nsample`` in-radius points *in index
+order* (not distance order), padding shortfall with the first hit.
+
+The fixed ``nsample`` makes this op static-shape and hence TPU-native: the
+"first nsample in index order" selection is a top-k over
+``where(in_radius, index, N)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .distance import square_distance
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def ball_query(
+    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array
+) -> jax.Array:
+    """Fixed-budget radius search.
+
+    Args:
+      radius: local region radius (traced or static scalar).
+      nsample: neighbor budget (static).
+      xyz: ``[B, N, 3]`` all points.
+      new_xyz: ``[B, S, 3]`` query centers.
+
+    Returns:
+      ``[B, S, nsample]`` int32 indices.  Queries with fewer than
+      ``nsample`` in-radius points repeat their first hit; queries with no
+      in-radius point at all return index 0 (the reference would read
+      out-of-bounds there — its call sites guarantee a self-hit).
+    """
+    xyz = lax.stop_gradient(xyz)
+    new_xyz = lax.stop_gradient(new_xyz)
+    N = xyz.shape[1]
+    sqrdists = square_distance(new_xyz, xyz)  # [B, S, N]
+    arange = jnp.arange(N, dtype=jnp.int32)
+    cand = jnp.where(sqrdists <= radius**2, arange, N)  # [B, S, N]
+    # smallest `nsample` candidate indices == first in-radius points
+    neg_idx, _ = lax.top_k(-cand, nsample)
+    idx = -neg_idx
+    first = idx[..., :1]
+    idx = jnp.where(idx == N, first, idx)
+    return jnp.clip(idx, 0, N - 1)

@@ -1,0 +1,190 @@
+"""Earth Mover's Distance via a TPU-native auction algorithm.
+
+Replaces the reference's external PyTorchEMD CUDA extension (Bertsekas
+auction, /root/reference/Utils/Utils.py:51-118).  The reference runs the
+auction with ``eps=0.001`` for 10000 cheap sparse iterations on GPU; here
+we run a *dense Jacobi auction with epsilon scaling* — every sweep is a
+fully vectorized pass over the ``[N, M]`` value matrix (VPU-friendly,
+static shapes), and scaling cuts the sweep count by orders of magnitude.
+
+Semantics mirrored:
+  * returns per-point squared distances under the (near-)optimal 1-1
+    assignment, like ``emd.forward`` (Utils/Utils.py:77),
+  * the eval metric applies the reference's ``mean * 36`` scale
+    (Utils/Utils.py:118),
+  * backward pass treats the assignment as fixed:
+    ``d/dx1 = 2 * (x1 - x2[assignment])`` and zero into ``x2``
+    (Utils/Utils.py:84-92).
+
+Epsilon-scaled auction is near-optimal: total cost is within ``n * eps_min``
+of the true optimum (Bertsekas 1988); tests check against
+``scipy.optimize.linear_sum_assignment`` on small instances.
+
+Known limitation: clouds with massive exact-duplicate structure (e.g. a
+cloud matched against itself) are the worst case for auction tie-breaking
+and may exhaust the sweep budget at a coarse epsilon; the op then returns
+the best *complete* matching found (graceful degradation).  Matching two
+distinct scans — the actual eval workload — converges quickly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .distance import square_distance
+
+
+def _auction_sweep(D, price, assign, owner, eps):
+    """One dense Jacobi auction sweep: every unassigned row bids for its
+    best column; each contested column takes the highest bid."""
+    n, m = D.shape
+    rows = jnp.arange(n, dtype=jnp.int32)
+    cols = jnp.arange(m, dtype=jnp.int32)
+
+    bidding = assign < 0  # [n]
+    V = D + price[None, :]  # [n, m]
+    # top-2 minima via two min-reductions (cheaper than lax.top_k)
+    v1 = jnp.min(V, axis=-1)
+    j1 = jnp.argmin(V, axis=-1).astype(jnp.int32)
+    V2 = jnp.where(cols[None, :] == j1[:, None], jnp.inf, V)
+    v2 = jnp.min(V2, axis=-1)
+    incr = v2 - v1 + eps  # bid increment, >= eps
+
+    bid = jnp.where(bidding, incr, -jnp.inf)
+    # column-wise max bid
+    col_max = jnp.full((m,), -jnp.inf, dtype=D.dtype).at[j1].max(bid)
+    # winner row per column (lowest row index among max bidders)
+    is_winner_bid = bidding & (bid == col_max[j1]) & jnp.isfinite(bid)
+    col_winner = (
+        jnp.full((m,), n, dtype=jnp.int32)
+        .at[j1]
+        .min(jnp.where(is_winner_bid, rows, n))
+    )
+    has_winner = col_winner < n  # [m]
+
+    # raise prices on contested columns
+    price = jnp.where(has_winner, price + col_max, price)
+
+    # evict previous owners of contested columns
+    evicted = has_winner[assign.clip(0)] & (assign >= 0)
+    assign = jnp.where(evicted, -1, assign)
+
+    # winners take their columns.  A row bids for exactly one column so
+    # it can win at most one; uncontested columns have col_winner == n,
+    # which the 'drop' scatter mode discards.
+    won_col = (
+        jnp.full((n,), -1, dtype=jnp.int32)
+        .at[col_winner]
+        .set(jnp.arange(m, dtype=jnp.int32), mode="drop")
+    )
+    assign = jnp.where(won_col >= 0, won_col, assign)
+    owner = jnp.where(has_winner, col_winner, owner)
+    return price, assign, owner
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def emd_assignment_dist(
+    xyz1: jax.Array, xyz2: jax.Array, eps: float = 0.001, iters: int = 2048
+):
+    """Per-point squared distance under an auction-computed assignment.
+
+    Args:
+      xyz1: ``[N, 3]``.
+      xyz2: ``[N, 3]`` (same cardinality).
+      eps: final auction epsilon (optimality gap ~= N * eps).
+      iters: total sweep budget, split across the scaling phases.
+
+    Returns:
+      ``(dist [N], assignment [N])`` — squared distance from each point of
+      ``xyz1`` to its assigned partner in ``xyz2``.
+    """
+    return _emd_forward_impl(xyz1, xyz2, eps, iters)
+
+
+def _emd_forward_impl(xyz1, xyz2, eps, iters):
+    n = xyz1.shape[0]
+    m = xyz2.shape[0]
+    D = square_distance(xyz1[None], xyz2[None])[0]  # [n, m]
+
+    # Single annealing loop: sweep at the current epsilon; the moment a
+    # complete matching exists, snapshot it, anneal eps 4x (down to the
+    # target), and re-open the assignment.  If the sweep budget runs out
+    # mid-phase we return the snapshot — the best *complete* matching seen
+    # — so the metric degrades gracefully instead of collapsing.
+    d_scale = jnp.maximum(jnp.max(D), 1e-6)
+    eps0 = d_scale * 0.25
+    eps_t = jnp.asarray(eps, D.dtype)
+
+    def cond(state):
+        sweep, eps_cur, price, assign, owner, best, has_best = state
+        done = jnp.logical_and(eps_cur <= eps_t, jnp.all(assign >= 0))
+        return jnp.logical_and(sweep < iters, jnp.logical_not(done))
+
+    def body(state):
+        sweep, eps_cur, price, assign, owner, best, has_best = state
+        complete = jnp.all(assign >= 0)
+        # snapshot complete matchings (monotone improvement: later = finer eps)
+        best = jnp.where(complete, assign, best)
+        has_best = jnp.logical_or(has_best, complete)
+        # anneal and re-open when complete but not yet at target eps
+        anneal = jnp.logical_and(complete, eps_cur > eps_t)
+        eps_cur = jnp.where(anneal, jnp.maximum(eps_cur * 0.25, eps_t), eps_cur)
+        assign = jnp.where(anneal, -1, assign)
+        owner = jnp.where(anneal, -1, owner)
+        price, assign, owner = _auction_sweep(D, price, assign, owner, eps_cur)
+        return sweep + 1, eps_cur, price, assign, owner, best, has_best
+
+    init = (
+        jnp.int32(0),
+        eps0,
+        jnp.zeros((m,), dtype=D.dtype),
+        jnp.full((n,), -1, dtype=jnp.int32),
+        jnp.full((m,), -1, dtype=jnp.int32),
+        jnp.full((n,), -1, dtype=jnp.int32),
+        jnp.asarray(False),
+    )
+    _, _, _, assign, _, best, has_best = lax.while_loop(cond, body, init)
+
+    final = jnp.where(jnp.all(assign >= 0), assign, jnp.where(has_best, best, assign))
+    safe_assign = final.clip(0, m - 1)
+    nn = xyz2[safe_assign]
+    dist = jnp.sum((xyz1 - nn) ** 2, axis=-1)
+    return dist, safe_assign
+
+
+def _emd_fwd(xyz1, xyz2, eps, iters):
+    dist, assign = _emd_forward_impl(xyz1, xyz2, eps, iters)
+    return (dist, assign), (xyz1, xyz2, assign)
+
+
+def _emd_bwd(eps, iters, res, g):
+    xyz1, xyz2, assign = res
+    g_dist, _ = g
+    grad1 = 2.0 * (xyz1 - xyz2[assign]) * g_dist[:, None]
+    return grad1, jnp.zeros_like(xyz2)
+
+
+emd_assignment_dist.defvjp(_emd_fwd, _emd_bwd)
+
+
+def emd(pc1: jax.Array, pc2: jax.Array, eps: float = 0.001, iters: int = 2048):
+    """Batched EMD metric matching the reference's ``EMD`` helper.
+
+    Args:
+      pc1, pc2: ``[B, N, 3]`` point clouds (channels-last).
+
+    Returns:
+      scalar — mean per-point assigned squared distance * 36
+      (the reference's scale, Utils/Utils.py:118).
+    """
+    def one(pair):
+        a, b = pair
+        dist, _ = emd_assignment_dist(a, b, eps, iters)
+        return jnp.mean(dist)
+
+    dists = lax.map(one, (pc1, pc2))
+    return 36.0 * jnp.mean(dists)

@@ -1,0 +1,24 @@
+"""Test configuration: hermetic CPU runs with a virtual 8-device mesh.
+
+Tests never require TPU hardware; multi-device sharding tests use the
+standard JAX fake-mesh trick (XLA_FLAGS host platform device count).
+Must run before the first `import jax` anywhere in the test process.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The container's sitecustomize registers the TPU PJRT plugin and calls
+# jax.config.update("jax_platforms", "axon,cpu"), which overrides the env
+# var.  Re-override here so tests are hermetic-CPU regardless.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()

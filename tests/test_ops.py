@@ -1,0 +1,265 @@
+"""Unit tests for the primitive op layer vs brute-force numpy oracles."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pci_tpu import ops
+from tests import reference_impls as ref
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_cloud(rng, B=2, N=128, C=3, scale=5.0):
+    return (rng.standard_normal((B, N, C)) * scale).astype(np.float32)
+
+
+class TestSquareDistance:
+    def test_matches_numpy(self, rng):
+        a = make_cloud(rng, 2, 64)
+        b = make_cloud(rng, 2, 96)
+        got = np.asarray(ops.square_distance(jnp.asarray(a), jnp.asarray(b)))
+        want = ref.square_distance_np(a, b)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+    def test_pdist2squared_channels_first(self, rng):
+        a = make_cloud(rng, 2, 64)
+        b = make_cloud(rng, 2, 64)
+        got = np.asarray(
+            ops.pdist2squared(
+                jnp.asarray(a).swapaxes(-1, -2), jnp.asarray(b).swapaxes(-1, -2)
+            )
+        )
+        want = np.maximum(ref.square_distance_np(a, b), 0.0)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+class TestKnn:
+    def test_direct(self, rng):
+        q = make_cloud(rng, 2, 50)
+        p = make_cloud(rng, 2, 200)
+        d, i = ops.knn(jnp.asarray(q), jnp.asarray(p), 8)
+        dn, in_ = ref.knn_np(q, p, 8)
+        np.testing.assert_allclose(np.asarray(d), dn, rtol=1e-4, atol=1e-3)
+        # indices may differ on exact ties; compare gathered distances instead
+        got_pts = np.take_along_axis(
+            p[:, :, None, :], np.asarray(i)[..., None], axis=1
+        )
+        assert np.asarray(i).shape == (2, 50, 8)
+
+    def test_tiled_matches_direct(self, rng):
+        from pci_tpu.ops.knn import _knn_direct, _knn_tiled
+
+        q = jnp.asarray(make_cloud(rng, 1, 64))
+        p = jnp.asarray(make_cloud(rng, 1, 512))
+        d0, i0 = _knn_direct(q, p, 16)
+        d1, i1 = _knn_tiled(q, p, 16, 128)
+        np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_knn_points_gather_grad(self, rng):
+        q = jnp.asarray(make_cloud(rng, 1, 16))
+        p = jnp.asarray(make_cloud(rng, 1, 64))
+
+        def f(p_):
+            _, _, nn = ops.knn_points(q, p_, 4)
+            return jnp.sum(nn**2)
+
+        g = jax.grad(f)(p)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).sum() > 0
+
+
+class TestFps:
+    def test_matches_sequential_oracle(self, rng):
+        x = make_cloud(rng, 2, 100)
+        got = np.asarray(ops.fps(jnp.asarray(x), 16, 0))
+        want = ref.fps_np(x, 16, 0)
+        np.testing.assert_array_equal(got, want)
+
+    def test_prefix_property(self, rng):
+        x = jnp.asarray(make_cloud(rng, 1, 80))
+        full = np.asarray(ops.fps(x, 40, 0))
+        small = np.asarray(ops.fps(x, 10, 0))
+        np.testing.assert_array_equal(full[:, :10], small)
+
+    def test_spread(self, rng):
+        # FPS should cover space better than the first-k prefix
+        x = make_cloud(rng, 1, 256)
+        idx = np.asarray(ops.fps(jnp.asarray(x), 32, 0))[0]
+        sel = x[0][idx]
+        d = ref.square_distance_np(x, sel[None])[0]  # [N, 32]
+        assert d.min(axis=-1).max() < ref.square_distance_np(x, x[0][:32][None])[
+            0
+        ].min(axis=-1).max()
+
+
+class TestBallQuery:
+    def test_matches_oracle(self, rng):
+        x = make_cloud(rng, 2, 128, scale=1.0)
+        centers = x[:, :16]
+        got = np.asarray(ops.ball_query(0.8, 8, jnp.asarray(x), jnp.asarray(centers)))
+        want = ref.ball_query_np(0.8, 8, x, centers)
+        np.testing.assert_array_equal(got, want)
+
+    def test_hits_are_in_radius_and_index_ordered(self, rng):
+        x = make_cloud(rng, 1, 64, scale=1.0)
+        idx = np.asarray(ops.ball_query(0.5, 4, jnp.asarray(x), jnp.asarray(x)))
+        d = ref.square_distance_np(x, x)[0]
+        for s in range(64):
+            hits = idx[0, s]
+            # every returned index is within the radius of the query
+            assert (d[s, hits] <= 0.5**2 + 1e-6).all()
+            # self-query always has at least one hit: itself
+            assert s in hits or (d[s, hits[0]] <= 0.5**2 + 1e-6)
+
+
+class TestChamfer:
+    def test_matches_numpy(self, rng):
+        a = make_cloud(rng, 3, 100)
+        b = make_cloud(rng, 3, 120)
+        got = float(ops.chamfer_distance(jnp.asarray(a), jnp.asarray(b)))
+        want = ref.chamfer_np(a, b)
+        assert got == pytest.approx(want, rel=1e-4)
+
+    def test_tiled_matches_direct(self, rng):
+        from pci_tpu.ops.chamfer import _min_sqdist_direct, _min_sqdist_tiled
+
+        a = jnp.asarray(make_cloud(rng, 1, 64))
+        b = jnp.asarray(make_cloud(rng, 1, 512))
+        i0 = _min_sqdist_direct(a, b)
+        i1 = _min_sqdist_tiled(a, b, 128)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_zero_for_identical(self, rng):
+        a = jnp.asarray(make_cloud(rng, 2, 64))
+        assert float(ops.chamfer_distance(a, a)) == pytest.approx(0.0, abs=1e-5)
+
+    def test_grad(self, rng):
+        a = jnp.asarray(make_cloud(rng, 1, 32))
+        b = jnp.asarray(make_cloud(rng, 1, 32))
+        g = jax.grad(lambda x: ops.chamfer_distance(x, b))(a)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).sum() > 0
+
+    def test_channels_first_wrapper(self, rng):
+        a = make_cloud(rng, 2, 50)
+        b = make_cloud(rng, 2, 50)
+        got = float(
+            ops.chamfer_loss_cf(
+                jnp.asarray(a).swapaxes(-1, -2), jnp.asarray(b).swapaxes(-1, -2)
+            )
+        )
+        assert got == pytest.approx(ref.chamfer_np(a, b), rel=1e-4)
+
+
+class TestInterpolate:
+    @pytest.mark.parametrize("mode", ["clamp", "eps"])
+    def test_matches_numpy(self, rng, mode):
+        q = make_cloud(rng, 2, 64)
+        r = make_cloud(rng, 2, 16)
+        f = rng.standard_normal((2, 16, 8)).astype(np.float32)
+        got = np.asarray(
+            ops.three_nn_interpolate(
+                jnp.asarray(q), jnp.asarray(r), jnp.asarray(f), mode
+            )
+        )
+        want = ref.three_nn_interp_np(q, r, f, mode)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    def test_exact_at_ref_points(self, rng):
+        r = make_cloud(rng, 1, 32)
+        f = rng.standard_normal((1, 32, 4)).astype(np.float32)
+        out = np.asarray(
+            ops.three_nn_interpolate(jnp.asarray(r), jnp.asarray(r), jnp.asarray(f))
+        )
+        np.testing.assert_allclose(out, f, rtol=1e-4, atol=1e-4)
+
+
+class TestEmd:
+    def test_near_optimal_vs_scipy(self, rng):
+        from scipy.optimize import linear_sum_assignment
+
+        a = make_cloud(rng, 1, 64, scale=1.0)[0]
+        b = make_cloud(rng, 1, 64, scale=1.0)[0]
+        dist, assign = ops.emd_assignment_dist(
+            jnp.asarray(a), jnp.asarray(b), eps=1e-4, iters=4096
+        )
+        got = float(jnp.sum(dist))
+        D = ref.square_distance_np(a[None], b[None])[0]
+        ri, ci = linear_sum_assignment(D)
+        want = float(D[ri, ci].sum())
+        assert got <= want * 1.05 + 1e-3
+        assert got >= want - 1e-3  # can't beat the optimum
+        # assignment must be a permutation
+        assert len(set(np.asarray(assign).tolist())) == 64
+
+    def test_identical_clouds_zero(self, rng):
+        a = make_cloud(rng, 1, 32, scale=1.0)[0]
+        dist, assign = ops.emd_assignment_dist(
+            jnp.asarray(a), jnp.asarray(a), eps=1e-5, iters=4096
+        )
+        assert float(jnp.sum(dist)) == pytest.approx(0.0, abs=1e-4)
+
+    def test_metric_scale(self, rng):
+        a = jnp.asarray(make_cloud(rng, 2, 32, scale=1.0))
+        v = float(ops.emd(a, a, eps=1e-5, iters=1024))
+        assert v == pytest.approx(0.0, abs=1e-3)
+
+    def test_grad_fixed_assignment(self, rng):
+        a = jnp.asarray(make_cloud(rng, 1, 16, scale=1.0)[0])
+        b = jnp.asarray(make_cloud(rng, 1, 16, scale=1.0)[0])
+
+        def f(x):
+            d, _ = ops.emd_assignment_dist(x, b, 1e-3, 512)
+            return jnp.sum(d)
+
+        g = jax.grad(f)(a)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestPolyfit:
+    def test_matches_numpy_polyfit(self, rng):
+        B, F, N, deg = 2, 7, 20, 3
+        T = np.sort(rng.uniform(-3, 3, (B, F)).astype(np.float32), axis=1)
+        Y = rng.standard_normal((B, F, N)).astype(np.float32)
+        t = rng.uniform(-1, 1, (B,)).astype(np.float32)
+        got = np.asarray(ops.polyfit_eval(jnp.asarray(T), jnp.asarray(Y), deg, jnp.asarray(t)))
+        want = np.stack(
+            [
+                np.polyval(np.polyfit(T[b], Y[b], deg), t[b])
+                for b in range(B)
+            ]
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+    def test_exact_through_points(self, rng):
+        # degree F-1 polynomial passes through all sample points
+        B, F, N = 1, 4, 8
+        T = np.linspace(-1, 1, F)[None].repeat(B, 0).astype(np.float32)
+        Y = rng.standard_normal((B, F, N)).astype(np.float32)
+        t = T[:, 1]
+        got = np.asarray(ops.polyfit_eval(jnp.asarray(T), jnp.asarray(Y), F - 1, jnp.asarray(t)))
+        np.testing.assert_allclose(got, Y[:, 1], rtol=1e-3, atol=1e-3)
+
+    def test_xyz_wrapper(self, rng):
+        B, F, N = 2, 5, 16
+        T = np.linspace(0, 1, F)[None].repeat(B, 0).astype(np.float32)
+        trajs = rng.standard_normal((B, F, N, 3)).astype(np.float32)
+        t = np.full((B,), 0.5, np.float32)
+        out = ops.polyfit_eval_xyz(jnp.asarray(T), jnp.asarray(trajs), 2, jnp.asarray(t))
+        assert out.shape == (B, N, 3)
+
+
+class TestGather:
+    def test_index_points(self, rng):
+        pts = make_cloud(rng, 2, 32, C=5)
+        idx = rng.integers(0, 32, (2, 7, 3))
+        got = np.asarray(ops.index_points(jnp.asarray(pts), jnp.asarray(idx)))
+        want = np.stack([pts[b][idx[b]] for b in range(2)])
+        np.testing.assert_array_equal(got, want)
