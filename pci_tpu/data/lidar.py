@@ -1,0 +1,66 @@
+"""LiDAR scan readers and host-side samplers.
+
+Data formats (verified against the reference's shipped demo data,
+SURVEY.md section 2.5): KITTI ``.bin`` = float32 x4 (x, y, z, intensity);
+nuScenes ``.bin`` = float32 x5.  Layout here is channels-last ``[N, C]``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import native
+
+
+def read_kitti_bin(path: str) -> np.ndarray:
+    """KITTI velodyne scan -> ``[N, 4]`` float32 (xyz + intensity)."""
+    return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+
+
+def read_nuscenes_bin(path: str) -> np.ndarray:
+    """nuScenes LIDAR_TOP scan -> ``[N, 5]`` float32."""
+    return np.fromfile(path, dtype=np.float32).reshape(-1, 5)
+
+
+def read_result_bin(path: str, channels: int = 3) -> np.ndarray:
+    """Saved interpolation result (float32 x3, or x4 with intensity)."""
+    return np.fromfile(path, dtype=np.float32).reshape(-1, channels)
+
+
+def random_subsample(
+    points: np.ndarray, npoints: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Sample without replacement; pad with replacement if short
+    (the reference's protocol, e.g. interpolation_data.py:66-77)."""
+    n = points.shape[0]
+    if n >= npoints:
+        idx = rng.choice(n, npoints, replace=False)
+    else:
+        idx = np.concatenate(
+            [np.arange(n), rng.choice(n, npoints - n, replace=True)]
+        )
+    return points[idx]
+
+
+def fps_subsample(points: np.ndarray, npoints: int, start: int = 0) -> np.ndarray:
+    """Farthest-point downsample via the native kernel (the reference used
+    Open3D's C++ FPS, Dataset/InterpolationData.py:144-147)."""
+    idx = native.fps_indices(points, npoints, start)
+    return points[idx]
+
+
+def subsample(
+    points: np.ndarray,
+    npoints: int,
+    method: str = "random",
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    if method == "random":
+        assert rng is not None
+        return random_subsample(points, npoints, rng)
+    if method == "fps":
+        if points.shape[0] < npoints:
+            assert rng is not None
+            return random_subsample(points, npoints, rng)
+        return fps_subsample(points, npoints)
+    raise ValueError(f"unknown subsample method {method!r}")

@@ -38,12 +38,19 @@ from .. import ops
 from .mlp import PointMLP
 
 
+def _safe_norm(x, axis=-1, keepdims=True, eps=1e-12):
+    """Norm with a well-defined gradient at 0 (a combined point's nearest
+    neighbor is itself, so zero offsets are the common case, and
+    d|x|/dx at 0 would be NaN)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
+
+
 def _neighbor_features(combined, cloud, k, valid_n):
     """kNN of `combined` into `cloud[:valid_n]`; returns ([B,N,k,4], [B,N,k,3])."""
     _, idx = ops.knn_prefix(combined, cloud, k, valid_n)
     nn_pts = ops.index_points(cloud, idx)  # [B,N,k,3]
     resi = nn_pts - combined[:, :, None, :]
-    dist = jnp.linalg.norm(resi, axis=-1, keepdims=True)
+    dist = _safe_norm(resi)
     return jnp.concatenate([resi, dist], axis=-1), nn_pts
 
 
@@ -154,7 +161,7 @@ class PointsFusionWithFeatures(nn.Module):
             nn_pts = ops.index_points(cloud, idx)
             nn_feat = ops.index_points(feat, idx)
             resi = nn_pts - combined[:, :, None, :]
-            dist = jnp.linalg.norm(resi, axis=-1, keepdims=True)
+            dist = _safe_norm(resi)
             return jnp.concatenate([resi, dist], -1), nn_pts, nn_feat
 
         g1, nn1, nf1 = grouped(c1, feats1, jnp.maximum(N1, 1))

@@ -1,0 +1,117 @@
+"""Jitted train / eval step builders.
+
+One jitted step is the whole per-batch path of the reference's train loop
+(train.py:101-132): forward, chamfer loss, backward, Adam update, BN
+running-stat update — no host round trips inside an epoch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import ops
+from .state import TrainState
+
+
+def make_interp_train_step(
+    model, optimizer: optax.GradientTransformation
+) -> Callable:
+    """Train step for interpolation models (ISAPCInet / PointINet2 style
+    batches: forward/key/backward frame lists + t + gt).
+
+    Returns ``step(state, batch, rng, lr_scale_epoch_momentum) -> (state, metrics)``;
+    jit once and reuse — lr and momentum enter as traced scalars.
+    """
+
+    def step(state: TrainState, batch, rng, momentum):
+        def loss_fn(params):
+            out, new_vars = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["forward"], batch["keys"], batch["backward"],
+                batch["t"], batch["ini"],
+                train=True, momentum=momentum,
+                rngs={"sample": rng},
+                mutable=["batch_stats"],
+            )
+            loss = ops.chamfer_distance(out, batch["gt"])
+            return loss, new_vars["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def make_interp_eval_step(model) -> Callable:
+    """Eval step: forward + per-sample chamfer (test.py:64-87 semantics)."""
+
+    def step(state: TrainState, batch, rng):
+        out = model.apply(
+            state.variables,
+            batch["forward"], batch["keys"], batch["backward"],
+            batch["t"], batch["ini"],
+            train=False,
+            rngs={"sample": rng},
+        )
+        return ops.chamfer_per_sample(out, batch["gt"]), out
+
+    return step
+
+
+def make_sceneflow_train_step(
+    model, optimizer: optax.GradientTransformation, supervised: bool
+) -> Callable:
+    """FlowNet3D pretraining step (train_sceneflow.py:49-208).
+
+    supervised=True:  masked L2 flow criterion on (points, gt flow) pairs.
+    supervised=False: unsupervised refine — chamfer(points1 + flow, points2).
+    """
+
+    def step(state: TrainState, batch, momentum):
+        def loss_fn(params):
+            flow, new_vars = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["points1"], batch["points2"],
+                batch["feats1"], batch["feats2"],
+                train=True, momentum=momentum,
+                mutable=["batch_stats"],
+            )
+            if supervised:
+                loss = flow_criterion(flow, batch["flow"], batch["mask"])
+            else:
+                loss = ops.chamfer_distance(batch["points1"] + flow, batch["points2"])
+            return loss, new_vars["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params, batch_stats=new_bs, opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def flow_criterion(pred_flow, flow, mask):
+    """Masked L2/2 flow loss (reference models/utils.py:34-36), channels-last."""
+    sq = jnp.sum((pred_flow - flow) ** 2, axis=-1)
+    return jnp.mean(mask * sq / 2.0)

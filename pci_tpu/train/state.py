@@ -1,0 +1,78 @@
+"""Train state and optimizer construction.
+
+Mirrors the reference's training config (train.py:18-48, 68-87):
+Adam + ClippedStepLR, BN-momentum schedule, freeze-flow semantics
+(``requires_grad=False`` on the FlowNet3D subtree -> optax mask here).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def clipped_step_lr(init_lr: float, step_size: int, gamma: float, min_lr: float):
+    """lr(epoch) = max(init * gamma^(epoch // step_size), min_lr) —
+    the reference's ClippedStepLR (Utils/Utils.py:22-31).  Returns an
+    epoch-indexed schedule function."""
+
+    def schedule(epoch):
+        e = jnp.asarray(epoch, jnp.float32)
+        return jnp.maximum(init_lr * gamma ** jnp.floor(e / step_size), min_lr)
+
+    return schedule
+
+
+def bn_momentum_schedule(init: float = 0.5, gamma: float = 0.5, step_size: int = 100, floor: float = 0.01):
+    """The reference's BN-momentum decay (train.py:82-87)."""
+
+    def schedule(epoch):
+        e = jnp.asarray(epoch, jnp.float32)
+        return jnp.maximum(init * gamma ** jnp.floor(e / step_size), floor)
+
+    return schedule
+
+
+def make_optimizer(
+    learning_rate, params, freeze_subtrees: tuple[str, ...] = ()
+) -> optax.GradientTransformation:
+    """Adam with optional frozen parameter subtrees (top-level module names,
+    e.g. ("flow",) to mirror freeze=1)."""
+    if not freeze_subtrees:
+        return optax.adam(learning_rate)
+
+    def label(params_):
+        return {
+            k: ("frozen" if k in freeze_subtrees else "train")
+            for k in params_.keys()
+        }
+
+    return optax.multi_transform(
+        {"train": optax.adam(learning_rate), "frozen": optax.set_to_zero()},
+        label(params),
+    )
+
+
+def create_train_state(params, batch_stats, optimizer) -> TrainState:
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )

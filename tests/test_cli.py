@@ -1,0 +1,132 @@
+"""End-to-end CLI tests on synthetic scenes (tiny shapes, hermetic CPU).
+
+Drives the actual entry points: train -> checkpoint -> test -> demo ->
+heatmap, the way a user of the reference would run its scripts.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def make_scene(tmp_path, scene="scene-0001", n_frames=40, npts=120):
+    rng = np.random.default_rng(3)
+    (tmp_path / "lidar").mkdir(exist_ok=True)
+    (tmp_path / "split").mkdir(exist_ok=True)
+    lines = []
+    base = (rng.standard_normal((npts, 3)) * 3).astype(np.float32)
+    for i in range(n_frames):
+        fn = f"{scene}_frame_{i:03d}.bin"
+        # smooth drift so interpolation is learnable
+        xyz = base + np.asarray([0.05 * i, 0.0, 0.0], np.float32)
+        pts = np.concatenate(
+            [xyz, np.zeros((npts, 2), np.float32)], axis=1
+        )
+        pts.tofile(tmp_path / "lidar" / fn)
+        lines.append(f"{fn} {i * 0.05:.6f}")
+    (tmp_path / "split" / f"{scene}.txt").write_text("\n".join(lines) + "\n")
+    (tmp_path / "scenes.txt").write_text(scene + "\n")
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    p = tmp_path_factory.mktemp("scene")
+    make_scene(p)
+    return p
+
+
+def common_args(scene_dir, extra):
+    return [
+        "--root", str(scene_dir / "lidar"),
+        "--scenes_list", str(scene_dir / "scenes.txt"),
+        "--scene_split_lib", str(scene_dir / "split"),
+        "--npoints", "64", "--interval", "3", "--field", "1",
+        "--sample_method", "random",
+        "--ff_out_c", "32", "--tr_out_c", "32",
+    ] + extra
+
+
+class TestTrainCli:
+    def test_train_then_test_then_demo(self, scene_dir, tmp_path):
+        from pci_tpu.cli import train as train_cli
+
+        save_dir = str(tmp_path / "ckpts")
+        log_dir = str(tmp_path / "logs")
+        train_cli.main(common_args(scene_dir, [
+            "--epochs", "2", "--batch_size", "2",
+            "--save_dir", save_dir, "--log_dir", log_dir,
+            "--init_lr", "0.001",
+        ]))
+        # best checkpoint with loss-stamped name exists
+        from pci_tpu.train import BestKeeper
+
+        best = BestKeeper.best_path(save_dir, prefix="field_1")
+        assert best is not None, os.listdir(save_dir)
+        # metrics were logged
+        assert os.path.exists(os.path.join(log_dir, "metrics.jsonl"))
+
+        # eval with the trained checkpoint
+        from pci_tpu.cli import test as test_cli
+
+        mean_cd = test_cli.main(common_args(scene_dir, [
+            "--pretrained_self_model", best,
+            "--log_dir", str(tmp_path / "logs_eval"),
+        ]))
+        assert np.isfinite(mean_cd)
+
+    def test_polypci_cli(self, scene_dir, tmp_path):
+        from pci_tpu.cli import train_polypci
+
+        # just the eval path over a few windows (degree 1)
+        import pci_tpu.cli.train_polypci as mod
+
+        class _Loader:  # limit windows for speed
+            pass
+
+        argv = [
+            "--root", str(scene_dir / "lidar"),
+            "--scenes_list", str(scene_dir / "scenes.txt"),
+            "--scene_split_lib", str(scene_dir / "split"),
+            "--npoints", "48", "--interval", "3", "--field", "1",
+            "--degree", "1", "--sample_method", "random",
+            "--log_dir", str(tmp_path / "logs_poly"),
+        ]
+        # monkeypatch-free: just run it; window count is small for 40 frames
+        mod.main(argv)
+
+
+class TestVisualizationCli:
+    def test_hot_map(self, tmp_path):
+        from pci_tpu.cli import visualize_hot_map
+
+        visualize_hot_map.main([
+            "--field", "2", "--out_dir", str(tmp_path), "--steps", "5",
+        ])
+        assert (tmp_path / "field_2.png").exists()
+
+    def test_visualizer_renders_png(self, tmp_path):
+        from pci_tpu.utils import PcdsVisualizer
+
+        rng = np.random.default_rng(0)
+        vis = PcdsVisualizer(if_save=True, if_show=False)
+        vis.add_to_vis(rng.standard_normal((100, 3)), [1, 0, 0])
+        vis.add_to_vis(rng.standard_normal((100, 3)), [0, 1, 0])
+        out = str(tmp_path / "shot.png")
+        vis.show_and_save(out)
+        assert os.path.getsize(out) > 1000
+
+    def test_video_generate(self, tmp_path):
+        from pci_tpu.utils import PcdsVisualizer
+        from pci_tpu.utils.video import pngs_to_video
+
+        rng = np.random.default_rng(0)
+        png_dir = tmp_path / "pngs"
+        png_dir.mkdir()
+        for i in range(3):
+            vis = PcdsVisualizer(if_save=True, if_show=False)
+            vis.add_to_vis(rng.standard_normal((50, 3)) + i * 0.1, [0, 1, 0])
+            vis.show_and_save(str(png_dir / f"f{i}.png"))
+        out = pngs_to_video(str(png_dir), str(tmp_path / "demo.mp4"), fps=2)
+        assert os.path.getsize(out) > 1000
