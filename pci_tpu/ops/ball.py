@@ -20,9 +20,10 @@ from jax import lax
 from .distance import square_distance
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+@functools.partial(jax.jit, static_argnums=(1, 4))
 def ball_query(
-    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array
+    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
+    exact: bool = False,
 ) -> jax.Array:
     """Fixed-budget radius search.
 
@@ -38,15 +39,18 @@ def ball_query(
       in-radius point at all return index 0 (the reference would read
       out-of-bounds there — its call sites guarantee a self-hit).
     """
+    from .knn import _select_min_k
+
     xyz = lax.stop_gradient(xyz)
     new_xyz = lax.stop_gradient(new_xyz)
     N = xyz.shape[1]
     sqrdists = square_distance(new_xyz, xyz)  # [B, S, N]
-    arange = jnp.arange(N, dtype=jnp.int32)
-    cand = jnp.where(sqrdists <= radius**2, arange, N)  # [B, S, N]
-    # smallest `nsample` candidate indices == first in-radius points
-    neg_idx, _ = lax.top_k(-cand, nsample)
-    idx = -neg_idx
+    arange = jnp.arange(N, dtype=jnp.float32)
+    # smallest `nsample` candidate indices == first in-radius points.
+    # float index values are exact below 2^24 points.
+    cand = jnp.where(sqrdists <= radius**2, arange, jnp.float32(N))
+    vals, _ = _select_min_k(cand, nsample, exact)
+    idx = vals.astype(jnp.int32)
     first = idx[..., :1]
     idx = jnp.where(idx == N, first, idx)
     return jnp.clip(idx, 0, N - 1)

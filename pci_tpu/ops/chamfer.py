@@ -66,6 +66,15 @@ def nearest_neighbor_idx(a: jax.Array, b: jax.Array) -> jax.Array:
     a_ = lax.stop_gradient(a)
     b_ = lax.stop_gradient(b)
     M = b.shape[1]
+    from .knn import _use_pallas
+
+    if _use_pallas(b_, 1):
+        # fused kernel with k=1; the global nearest neighbor is exact
+        # under bucketing (the min of its bucket is the min)
+        from .pallas_kernels import knn_pallas
+
+        _, idx = knn_pallas(a_, b_, 1)
+        return idx[..., 0]
     if M > _TILE_THRESHOLD and M % _TILE == 0:
         return _min_sqdist_tiled(a_, b_, _TILE)
     return _min_sqdist_direct(a_, b_)

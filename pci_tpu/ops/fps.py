@@ -43,6 +43,10 @@ def fps(xyz: jax.Array, npoint: int, start_idx: jax.Array | int = 0):
     """
     xyz = lax.stop_gradient(xyz)
     B, N, _ = xyz.shape
+    if jax.default_backend() == "tpu" and N >= 4096 and xyz.shape[-1] == 3:
+        from .pallas_kernels import fps_pallas
+
+        return fps_pallas(xyz, npoint, start_idx)
     start = jnp.broadcast_to(jnp.asarray(start_idx, jnp.int32), (B,))
 
     def body(i, state):

@@ -1,0 +1,168 @@
+"""Fused distance + top-k kNN kernel for TPU (Pallas).
+
+One kernel computes squared distances tile-by-tile and keeps a bucketed
+candidate set in VMEM, so the ``[S, N]`` distance matrix never
+materializes in HBM.  The algorithm is the hardware TopK recipe:
+
+  1. key tiles stream through the grid's innermost dimension — Pallas
+     double-buffers the [TK, 3] blocks automatically,
+  2. ``d = sum_c (p_c - q_c)^2`` elementwise on the VPU — explicit
+     differences, because the matmul form suffers catastrophic
+     cancellation when the MXU computes the cross term in bf16 (and the
+     MXU would be ~2% utilized at K=3 anyway),
+  3. each length-``L`` key bucket reduces to its min (+ local argmin)
+     into a persistent VMEM candidate buffer,
+  4. on the last key tile, exact-select the k smallest among the ``N/L``
+     bucket minima (k masked min-extraction passes) and write outputs.
+
+Layout: keys on the major (sublane) axis, queries on lanes — Mosaic can
+split a major axis in a reshape but not the 128-lane minor axis, and all
+reductions run over key buckets.
+
+Bucketing makes the result approximate exactly like ``lax.approx_min_k``:
+two true neighbors sharing a bucket lose one candidate (expected recall
+``~1 - (k-1)*L/(2N)``, measured 0.994 at k=4/L=16/N=3k).  The global
+nearest neighbor is always exact (the min of its bucket is the min).
+
+Supports per-batch *prefix masking* (``valid_n``): key positions
+``>= valid_n`` get a sentinel distance — what adaptive fusion needs
+(ops.knn_prefix).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tunables: query tile (lanes), key tile (sublanes), bucket length.
+# TQ=512 measured fastest at 16k x 16k (3.6ms vs 4.9ms at TQ=128): wider
+# query tiles amortize the lane-padded key-block DMAs.
+TQ = 512
+TK = 2048
+L = 16
+
+_BIG = 1e30  # python float: safe to close over inside the kernel
+
+
+def _knn_kernel(valid_ref, qt_ref, p_ref, out_d_ref, out_i_ref,
+                cand_d, cand_i, *, k, n, l):
+    """Grid: (B, S // TQ, N // TK)  — key tiles innermost.
+
+    qt_ref: [1, 3, TQ] query tile, transposed (VMEM).
+    p_ref:  [1, TK, 3] key tile (VMEM, auto-pipelined).
+    cand_*: [N // l, TQ] bucket minima scratch, persistent across the
+            key-tile grid dimension.
+    """
+    nb_total = n // l
+    nb_tile = TK // l
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    num_key_tiles = pl.num_programs(2)
+    valid_n = valid_ref[b]
+
+    p = p_ref[0]  # [TK, 3]
+    d = jnp.zeros((TK, TQ), jnp.float32)
+    for c in range(3):
+        diff = p[:, c][:, None] - qt_ref[0, c, :][None, :]
+        d = d + diff * diff
+
+    # prefix mask: global key index >= valid_n -> sentinel
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (TK, TQ), 0) + j * TK
+    d = jnp.where(gidx < valid_n, d, _BIG)
+
+    # bucket reduce over keys: [TK, TQ] -> [TK//l, TQ]
+    d3 = d.reshape(nb_tile, l, TQ)
+    bmin = jnp.min(d3, axis=1)
+    # first-match local argmin via iota compare
+    iota3 = jax.lax.broadcasted_iota(jnp.int32, (nb_tile, l, TQ), 1)
+    is_min = d3 == bmin[:, None, :]
+    barg = jnp.min(jnp.where(is_min, iota3, l), axis=1)  # [nb_tile, TQ]
+    base = jax.lax.broadcasted_iota(jnp.int32, (nb_tile, TQ), 0) * l + j * TK
+    cand_d[pl.ds(j * nb_tile, nb_tile), :] = bmin
+    cand_i[pl.ds(j * nb_tile, nb_tile), :] = base + barg
+
+    # on the last key tile: exact top-k extraction over candidate buckets
+    @pl.when(j == num_key_tiles - 1)
+    def _():
+        cd = cand_d[...]  # [nb_total, TQ]
+        ci = cand_i[...]
+        row = jax.lax.broadcasted_iota(jnp.int32, (nb_total, TQ), 0)
+        for jj in range(k):
+            m = jnp.min(cd, axis=0)  # [TQ]
+            is_m = cd == m[None, :]
+            a = jnp.min(jnp.where(is_m, row, nb_total), axis=0)  # [TQ]
+            sel = row == a[None, :]
+            out_d_ref[0, :, jj] = m
+            out_i_ref[0, :, jj] = jnp.sum(jnp.where(sel, ci, 0), axis=0)
+            cd = jnp.where(sel, _BIG, cd)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 4))
+def knn_pallas(
+    query: jax.Array, points: jax.Array, k: int,
+    valid_n: jax.Array | None = None, bucket: int = L,
+):
+    """Batched fused kNN.
+
+    Args:
+      query: ``[B, S, 3]`` (S padded to a multiple of 128 internally).
+      points: ``[B, N, 3]`` (N padded to a multiple of 2048 internally).
+      k: neighbor count (static, <= 128).
+      valid_n: optional ``[B]`` int32 — only key positions < valid_n are
+        eligible (prefix masking for adaptive fusion).
+      bucket: bucket length (static); 16 gives ~0.985 recall at k=32.
+
+    Returns:
+      ``(sq_dists [B, S, k], idx [B, S, k])`` ascending.
+    """
+    query = lax.stop_gradient(query)
+    points = lax.stop_gradient(points)
+    B, S, C = query.shape
+    _, N, _ = points.shape
+    assert C == 3, "xyz clouds only"
+
+    s_pad = (-S) % TQ
+    n_pad = (-N) % TK
+    if s_pad:
+        query = jnp.pad(query, ((0, 0), (0, s_pad), (0, 0)))
+    if n_pad:
+        # pad keys far away; also excluded via valid_n masking below
+        points = jnp.pad(points, ((0, 0), (0, n_pad), (0, 0)), constant_values=1e15)
+    Np = N + n_pad
+    q_t = jnp.swapaxes(query, 1, 2)  # [B, 3, S+pad]
+    if valid_n is None:
+        valid = jnp.full((B,), N, jnp.int32)
+    else:
+        valid = jnp.minimum(valid_n.astype(jnp.int32), N).reshape(B)
+
+    kernel = functools.partial(_knn_kernel, k=k, n=Np, l=bucket)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, (S + s_pad) // TQ, Np // TK),
+        in_specs=[
+            pl.BlockSpec((1, 3, TQ), lambda b, i, j, valid: (b, 0, i)),
+            pl.BlockSpec((1, TK, 3), lambda b, i, j, valid: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TQ, k), lambda b, i, j, valid: (b, i, 0)),
+            pl.BlockSpec((1, TQ, k), lambda b, i, j, valid: (b, i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Np // bucket, TQ), jnp.float32),
+            pltpu.VMEM((Np // bucket, TQ), jnp.int32),
+        ],
+    )
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S + s_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, S + s_pad, k), jnp.int32),
+        ],
+    )(valid, q_t, points)
+    return out_d[:, :S], out_i[:, :S]

@@ -57,8 +57,8 @@ class TestKnn:
 
         q = jnp.asarray(make_cloud(rng, 1, 64))
         p = jnp.asarray(make_cloud(rng, 1, 512))
-        d0, i0 = _knn_direct(q, p, 16)
-        d1, i1 = _knn_tiled(q, p, 16, 128)
+        d0, i0 = _knn_direct(q, p, 16, True)
+        d1, i1 = _knn_tiled(q, p, 16, 128, True)
         np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-5, atol=1e-4)
         np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
 
