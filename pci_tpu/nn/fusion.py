@@ -56,8 +56,32 @@ def _neighbor_features(combined, cloud, k, valid_n):
 
 def _prefix_merge(a, b, split, axis):
     """Merge two equal-shape arrays along `axis`: first `split` (per-batch)
-    slots from `a`, the rest from the front of `b`.  Static shapes."""
+    slots from `a`, the rest from the front of `b`.  Static shapes.
+
+    Small merge axes (the k-neighbor axis) go through a one-hot matmul —
+    a take_along_axis over a 32-wide axis of a [B,N,32,4] tensor costs
+    ~46ms at 16k points on v5e (elementwise gather), the einsum <1ms.
+    """
     size = a.shape[axis]
+    if axis == a.ndim - 2 and size <= 256:
+        s = jnp.arange(size, dtype=jnp.int32)
+        # target index into concat([a, b], axis): s if s < split else
+        # size + (s - split)
+        tgt = jnp.where(
+            s[None, :] < split[:, None],
+            s[None, :],
+            size + s[None, :] - split[:, None],
+        )  # [B, size]
+        onehot = (
+            tgt[:, :, None] == jnp.arange(2 * size, dtype=jnp.int32)[None, None, :]
+        ).astype(a.dtype)  # [B, size, 2*size]
+        cat = jnp.concatenate([a, b], axis=axis)
+        # [B, ..., 2*size, C] x [B, size, 2*size] -> [B, ..., size, C]
+        bshape = (onehot.shape[0],) + (1,) * (a.ndim - 3) + onehot.shape[1:]
+        oh = onehot.reshape(bshape)
+        return jnp.einsum(
+            "...jc,...sj->...sc", cat, oh, preferred_element_type=a.dtype
+        )
     pos = jnp.arange(size, dtype=jnp.int32)
     pos_b = pos.reshape([1] * axis + [size] + [1] * (a.ndim - axis - 1))
     bshape = [1] * a.ndim
@@ -275,5 +299,10 @@ def _budget_compact(parts, budgets, k):
     local = s - jnp.take_along_axis(cum, owner, axis=1)  # [B,k]
     flat_idx = owner * k + local  # index into the F*k concat axis
     flat_idx = jnp.clip(flat_idx, 0, F * k - 1)
-    idx = jnp.broadcast_to(flat_idx[:, None, :, None], (B, N, k, C))
-    return jnp.take_along_axis(cat, idx, axis=2)
+    # one-hot matmul instead of a small-axis gather (TPU gather pathology)
+    onehot = (
+        flat_idx[:, :, None] == jnp.arange(F * k, dtype=jnp.int32)[None, None, :]
+    ).astype(cat.dtype)  # [B, k, F*k]
+    return jnp.einsum(
+        "bnjc,bsj->bnsc", cat, onehot, preferred_element_type=cat.dtype
+    )

@@ -73,7 +73,8 @@ def nearest_neighbor_idx(a: jax.Array, b: jax.Array) -> jax.Array:
         # under bucketing (the min of its bucket is the min)
         from .pallas_kernels import knn_pallas
 
-        _, idx = knn_pallas(a_, b_, 1)
+        bucket = 16 if M <= 32768 else 64
+        _, idx = knn_pallas(a_, b_, 1, None, bucket)
         return idx[..., 0]
     if M > _TILE_THRESHOLD and M % _TILE == 0:
         return _min_sqdist_tiled(a_, b_, _TILE)

@@ -108,7 +108,9 @@ def knn(query: jax.Array, points: jax.Array, k: int, exact: bool = False):
     if not exact and _use_pallas(points, k):
         from .pallas_kernels import knn_pallas
 
-        return knn_pallas(query, points, k)
+        # larger buckets above 32k keys keep the VMEM candidate buffer
+        # bounded (cand = 2 * (N/bucket) * 512 * 4B)
+        return knn_pallas(query, points, k, None, 16 if N <= 32768 else 64)
     if N > _TILE_THRESHOLD and N % _KEY_TILE == 0:
         return _knn_tiled(query, points, k, _KEY_TILE, exact)
     return _knn_direct(query, points, k, exact)
@@ -143,7 +145,7 @@ def knn_prefix(
     if not exact and _use_pallas(points, k):
         from .pallas_kernels import knn_pallas
 
-        return knn_pallas(query, points, k, valid_n)
+        return knn_pallas(query, points, k, valid_n, 16 if N <= 32768 else 64)
     d = square_distance(query, points)  # [B, S, N]
     pos = jnp.arange(N, dtype=jnp.int32)
     mask = pos[None, None, :] < valid_n[:, None, None]
