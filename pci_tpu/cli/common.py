@@ -92,6 +92,25 @@ def build_isapci(args, batch_example):
     return model, variables
 
 
+def build_pointinet2(args, batch_example):
+    """PointINet2 (Models/Models.py:130-188) with the same checkpoint
+    composition as ISAPCInet."""
+    from ..models import PointINet2
+
+    model = PointINet2(field=args.field, freeze_flow=bool(args.freeze))
+    rngs = {"params": jax.random.key(args.seed), "sample": jax.random.key(args.seed + 1)}
+    variables = model.init(
+        rngs,
+        batch_example["forward"], batch_example["keys"], batch_example["backward"],
+        batch_example["t"], batch_example["ini"], train=False,
+    )
+    if args.pretrained_flow_model:
+        variables = load_flow_into(variables, args.pretrained_flow_model)
+    if args.pretrained_self_model:
+        variables = load_params(args.pretrained_self_model, variables)
+    return model, variables
+
+
 def batch_to_device(batch):
     return jax.tree_util.tree_map(jnp.asarray, batch)
 

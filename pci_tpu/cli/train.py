@@ -25,7 +25,9 @@ from .common import (
 
 
 def parse_args(argv=None):
-    p = argparse.ArgumentParser(description="Train ISAPCInet (pci_tpu)")
+    p = argparse.ArgumentParser(description="Train ISAPCInet / PointINet2 (pci_tpu)")
+    p.add_argument("--model", type=str, default="isapci",
+                   choices=["isapci", "pointinet2"])
     add_common_train_flags(p)
     add_nuscenes_flags(p)
     add_model_flags(p)
@@ -42,7 +44,12 @@ def main(argv=None):
         sample_method=args.sample_method, seed=args.seed,
     )
     example = example_from_loader(dataset)
-    model, variables = build_isapci(args, example)
+    if args.model == "pointinet2":
+        from .common import build_pointinet2
+
+        model, variables = build_pointinet2(args, example)
+    else:
+        model, variables = build_isapci(args, example)
     run_interp_training(args, model, variables, dataset)
 
 

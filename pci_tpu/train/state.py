@@ -52,20 +52,29 @@ def bn_momentum_schedule(init: float = 0.5, gamma: float = 0.5, step_size: int =
 def make_optimizer(
     learning_rate, params, freeze_subtrees: tuple[str, ...] = ()
 ) -> optax.GradientTransformation:
-    """Adam with optional frozen parameter subtrees (top-level module names,
-    e.g. ("flow",) to mirror freeze=1)."""
+    """Adam with optional frozen parameter subtrees.
+
+    A subtree name matches at ANY nesting level ("flow" freezes both
+    ISAPCInet's ``flow`` and PointINet2's nested ``pointinet/flow``),
+    mirroring the reference's ``requires_grad=False`` propagation."""
     if not freeze_subtrees:
         return optax.adam(learning_rate)
 
     def label(params_):
-        return {
-            k: ("frozen" if k in freeze_subtrees else "train")
-            for k in params_.keys()
-        }
+        def build(subtree, prefix):
+            if isinstance(subtree, dict):
+                return {k: build(v, prefix + (k,)) for k, v in subtree.items()}
+            return (
+                "frozen"
+                if any(k in freeze_subtrees for k in prefix)
+                else "train"
+            )
+
+        return build(params_, ())
 
     return optax.multi_transform(
         {"train": optax.adam(learning_rate), "frozen": optax.set_to_zero()},
-        label(params),
+        label,
     )
 
 

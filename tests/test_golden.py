@@ -1,0 +1,66 @@
+"""Golden-fixture tests against the reference's committed demo artifacts
+(Demos/20230508test/demo_data — real nuScenes window with ground truth).
+
+These check data-layer fidelity and metric sanity on real scans: temporal
+monotonicity of chamfer (gt drifts from key1 toward key2 as t grows) and
+the documented file formats.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pci_tpu import ops
+from pci_tpu.data import read_nuscenes_bin, read_result_bin, subsample
+
+INPUTS = "/root/reference/Demos/20230508test/demo_data/Inputs"
+RESULTS = "/root/reference/Demos/20230508test/demo_data/result_field_2"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(INPUTS), reason="reference demo data unavailable"
+)
+
+
+def load(fn, n=8192, seed=0):
+    pts = read_nuscenes_bin(os.path.join(INPUTS, fn))[:, :3]
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(subsample(pts, n, "random", rng))[None]
+
+
+class TestGoldenWindow:
+    def test_chamfer_temporal_monotonicity(self):
+        """gt(t) moves away from key1 and toward key2 as t grows."""
+        k1, k2 = load("key_1.bin"), load("key_2.bin")
+        cd_k1, cd_k2 = [], []
+        for t in (0.2, 0.4, 0.6, 0.8):
+            gt = load(f"gt_{t}.bin")
+            cd_k1.append(float(ops.chamfer_distance(k1, gt)))
+            cd_k2.append(float(ops.chamfer_distance(k2, gt)))
+        assert cd_k1[0] < cd_k1[-1], cd_k1
+        assert cd_k2[0] > cd_k2[-1], cd_k2
+
+    def test_identity_baseline_magnitude(self):
+        """CD(key1, key2) on this window: 0.756 at 16k FPS points,
+        ~1.27 at 8k random points (sparser clouds inflate chamfer)."""
+        k1, k2 = load("key_1.bin"), load("key_2.bin")
+        cd = float(ops.chamfer_distance(k1, k2))
+        assert 0.4 < cd < 3.0, cd
+
+    def test_committed_results_are_valid_clouds(self):
+        """The reference's committed interpolation outputs parse as
+        float32 x3 and sit spatially between the keys."""
+        res = read_result_bin(os.path.join(RESULTS, "result_0.4.bin"))
+        assert res.shape[1] == 3
+        assert res.shape[0] > 1000
+        assert np.isfinite(res).all()
+        k1 = read_nuscenes_bin(os.path.join(INPUTS, "key_1.bin"))[:, :3]
+        # same coordinate frame: overlapping bounding boxes
+        assert np.abs(res.mean(0) - k1.mean(0)).max() < 20.0
+
+    def test_field_window_has_all_frames(self):
+        for i in (1, 2, 3):
+            assert os.path.exists(os.path.join(INPUTS, f"forward_{i}.bin"))
+            assert os.path.exists(os.path.join(INPUTS, f"backward_{i}.bin"))
