@@ -3,7 +3,15 @@ reference's interpolation models plus the FlowNet3D backbone."""
 
 from .flownet3d import FlowNet3D
 from .isapci import ISAPCInet, PointINet2
+from .isapci_asym import ISAPCInetAsym
 from .pointinet import PointINet
 from .polypci import PolyPCI
 
-__all__ = ["FlowNet3D", "ISAPCInet", "PointINet2", "PointINet", "PolyPCI"]
+__all__ = [
+    "FlowNet3D",
+    "ISAPCInet",
+    "ISAPCInetAsym",
+    "PointINet2",
+    "PointINet",
+    "PolyPCI",
+]

@@ -4,16 +4,14 @@ One kernel computes squared distances tile-by-tile and keeps a bucketed
 candidate set in VMEM, so the ``[S, N]`` distance matrix never
 materializes in HBM.  The algorithm is the hardware TopK recipe:
 
-  1. key tiles stream through the grid's innermost dimension — Pallas
-     double-buffers the [TK, 3] blocks automatically,
-  2. ``d = sum_c (p_c - q_c)^2`` elementwise on the VPU — explicit
-     differences, because the matmul form suffers catastrophic
-     cancellation when the MXU computes the cross term in bf16 (and the
-     MXU would be ~2% utilized at K=3 anyway),
+  1. the whole augmented key cloud ([5, N] layout, 512KB at 16k points)
+     rides along each query-tile grid step; key tiles loop in-kernel,
+  2. ``d`` is one K=5 MXU matmul over augmented coordinates (see the
+     kernel docstring) at HIGHEST precision,
   3. each length-``L`` key bucket reduces to its min (+ local argmin)
-     into a persistent VMEM candidate buffer,
-  4. on the last key tile, exact-select the k smallest among the ``N/L``
-     bucket minima (k masked min-extraction passes) and write outputs.
+     into a VMEM candidate buffer,
+  4. exact-select the k smallest among the ``N/L`` bucket minima
+     (k masked min-extraction passes).
 
 Layout: keys on the major (sublane) axis, queries on lanes — Mosaic can
 split a major axis in a reshape but not the 128-lane minor axis, and all
@@ -51,55 +49,67 @@ _BIG = 1e30  # python float: safe to close over inside the kernel
 
 def _knn_kernel(valid_ref, qt_ref, p_ref, out_d_ref, out_i_ref,
                 cand_d, cand_i, *, k, n, l):
-    """Grid: (B, S // TQ, N // TK)  — key tiles innermost.
+    """Grid: (B, S // TQ) — the whole key cloud rides along per step.
 
-    qt_ref: [1, 3, TQ] query tile, transposed (VMEM).
-    p_ref:  [1, TK, 3] key tile (VMEM, auto-pipelined).
-    cand_*: [N // l, TQ] bucket minima scratch, persistent across the
-            key-tile grid dimension.
+    qt_ref: [1, 5, TQ] augmented query tile ([-2qx, -2qy, -2qz, 1, |q|^2]).
+    p_ref:  [1, 5, N] augmented key cloud ([px, py, pz, |p|^2, 1]) —
+            512KB of VMEM at 16k points, so the whole cloud stays
+            resident and key tiles loop INSIDE the kernel (a key-tile
+            grid dimension costs ~10us of step machinery per tile; at
+            64k keys that was 40ms of pure overhead).
+    cand_*: [N // l, TQ] bucket minima scratch.
+
+    The squared distance is ONE K=5 MXU matmul:
+      d = p.(-2q) + |p|^2 * 1 + 1 * |q|^2.
+    Natural [5, T] layouts mean the DMA moves 5 (padded 8) sublanes per
+    block instead of 128 padded lanes — 16x less HBM traffic than the
+    [TK, 3] layout.  HIGHEST precision (multi-pass bf16, fp32-exact; Mosaic rejects HIGH)
+    keeps the cancellation-prone cross term accurate — default
+    single-pass bf16 products lose ~1e-2 relative, corrupting ranking.
     """
     nb_total = n // l
     nb_tile = TK // l
     b = pl.program_id(0)
-    j = pl.program_id(2)
-    num_key_tiles = pl.num_programs(2)
     valid_n = valid_ref[b]
+    q = qt_ref[0]  # [5, TQ]
 
-    p = p_ref[0]  # [TK, 3]
-    d = jnp.zeros((TK, TQ), jnp.float32)
-    for c in range(3):
-        diff = p[:, c][:, None] - qt_ref[0, c, :][None, :]
-        d = d + diff * diff
+    for j in range(n // TK):
+        p = p_ref[0, :, pl.ds(j * TK, TK)]  # [5, TK]
+        d = jax.lax.dot_general(
+            p, q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [TK, TQ]
+        d = jnp.maximum(d, 0.0)
 
-    # prefix mask: global key index >= valid_n -> sentinel
-    gidx = jax.lax.broadcasted_iota(jnp.int32, (TK, TQ), 0) + j * TK
-    d = jnp.where(gidx < valid_n, d, _BIG)
+        # prefix mask: global key index >= valid_n -> sentinel
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (TK, TQ), 0) + j * TK
+        d = jnp.where(gidx < valid_n, d, _BIG)
 
-    # bucket reduce over keys: [TK, TQ] -> [TK//l, TQ]
-    d3 = d.reshape(nb_tile, l, TQ)
-    bmin = jnp.min(d3, axis=1)
-    # first-match local argmin via iota compare
-    iota3 = jax.lax.broadcasted_iota(jnp.int32, (nb_tile, l, TQ), 1)
-    is_min = d3 == bmin[:, None, :]
-    barg = jnp.min(jnp.where(is_min, iota3, l), axis=1)  # [nb_tile, TQ]
-    base = jax.lax.broadcasted_iota(jnp.int32, (nb_tile, TQ), 0) * l + j * TK
-    cand_d[pl.ds(j * nb_tile, nb_tile), :] = bmin
-    cand_i[pl.ds(j * nb_tile, nb_tile), :] = base + barg
+        # bucket reduce over keys: [TK, TQ] -> [TK//l, TQ]
+        d3 = d.reshape(nb_tile, l, TQ)
+        bmin = jnp.min(d3, axis=1)
+        # first-match local argmin via iota compare
+        iota3 = jax.lax.broadcasted_iota(jnp.int32, (nb_tile, l, TQ), 1)
+        is_min = d3 == bmin[:, None, :]
+        barg = jnp.min(jnp.where(is_min, iota3, l), axis=1)  # [nb_tile, TQ]
+        base = jax.lax.broadcasted_iota(jnp.int32, (nb_tile, TQ), 0) * l + j * TK
+        cand_d[pl.ds(j * nb_tile, nb_tile), :] = bmin
+        cand_i[pl.ds(j * nb_tile, nb_tile), :] = base + barg
 
-    # on the last key tile: exact top-k extraction over candidate buckets
-    @pl.when(j == num_key_tiles - 1)
-    def _():
-        cd = cand_d[...]  # [nb_total, TQ]
-        ci = cand_i[...]
-        row = jax.lax.broadcasted_iota(jnp.int32, (nb_total, TQ), 0)
-        for jj in range(k):
-            m = jnp.min(cd, axis=0)  # [TQ]
-            is_m = cd == m[None, :]
-            a = jnp.min(jnp.where(is_m, row, nb_total), axis=0)  # [TQ]
-            sel = row == a[None, :]
-            out_d_ref[0, :, jj] = m
-            out_i_ref[0, :, jj] = jnp.sum(jnp.where(sel, ci, 0), axis=0)
-            cd = jnp.where(sel, _BIG, cd)
+    # exact top-k extraction over candidate buckets
+    cd = cand_d[...]  # [nb_total, TQ]
+    ci = cand_i[...]
+    row = jax.lax.broadcasted_iota(jnp.int32, (nb_total, TQ), 0)
+    for jj in range(k):
+        m = jnp.min(cd, axis=0)  # [TQ]
+        is_m = cd == m[None, :]
+        a = jnp.min(jnp.where(is_m, row, nb_total), axis=0)  # [TQ]
+        sel = row == a[None, :]
+        out_d_ref[0, :, jj] = m
+        out_i_ref[0, :, jj] = jnp.sum(jnp.where(sel, ci, 0), axis=0)
+        cd = jnp.where(sel, _BIG, cd)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 4))
@@ -134,7 +144,17 @@ def knn_pallas(
         # pad keys far away; also excluded via valid_n masking below
         points = jnp.pad(points, ((0, 0), (0, n_pad), (0, 0)), constant_values=1e15)
     Np = N + n_pad
+
+    # augmented transposed layouts (see kernel docstring)
     q_t = jnp.swapaxes(query, 1, 2)  # [B, 3, S+pad]
+    q2 = jnp.sum(q_t * q_t, axis=1, keepdims=True)  # [B, 1, S+pad]
+    ones_q = jnp.ones_like(q2)
+    q_aug = jnp.concatenate([-2.0 * q_t, ones_q, q2], axis=1)  # [B, 5, S+pad]
+    p_t = jnp.swapaxes(points, 1, 2)  # [B, 3, Np]
+    p2 = jnp.sum(p_t * p_t, axis=1, keepdims=True)
+    ones_p = jnp.ones_like(p2)
+    p_aug = jnp.concatenate([p_t, p2, ones_p], axis=1)  # [B, 5, Np]
+
     if valid_n is None:
         valid = jnp.full((B,), N, jnp.int32)
     else:
@@ -143,14 +163,14 @@ def knn_pallas(
     kernel = functools.partial(_knn_kernel, k=k, n=Np, l=bucket)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, (S + s_pad) // TQ, Np // TK),
+        grid=(B, (S + s_pad) // TQ),
         in_specs=[
-            pl.BlockSpec((1, 3, TQ), lambda b, i, j, valid: (b, 0, i)),
-            pl.BlockSpec((1, TK, 3), lambda b, i, j, valid: (b, j, 0)),
+            pl.BlockSpec((1, 5, TQ), lambda b, i, valid: (b, 0, i)),
+            pl.BlockSpec((1, 5, Np), lambda b, i, valid: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, TQ, k), lambda b, i, j, valid: (b, i, 0)),
-            pl.BlockSpec((1, TQ, k), lambda b, i, j, valid: (b, i, 0)),
+            pl.BlockSpec((1, TQ, k), lambda b, i, valid: (b, i, 0)),
+            pl.BlockSpec((1, TQ, k), lambda b, i, valid: (b, i, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((Np // bucket, TQ), jnp.float32),
@@ -164,5 +184,5 @@ def knn_pallas(
             jax.ShapeDtypeStruct((B, S + s_pad, k), jnp.float32),
             jax.ShapeDtypeStruct((B, S + s_pad, k), jnp.int32),
         ],
-    )(valid, q_t, points)
+    )(valid, q_aug, p_aug)
     return out_d[:, :S], out_i[:, :S]

@@ -165,6 +165,32 @@ class TestPointINet2:
         assert out.shape == (B, N, 3)
 
 
+class TestISAPCInetAsym:
+    def test_forward(self, rng):
+        from pci_tpu.models import ISAPCInetAsym
+
+        net = ISAPCInetAsym(forward_field=2, backward_field=1)
+        fwd = [cloud(rng), cloud(rng)]
+        key = cloud(rng)
+        bwd = [cloud(rng)]
+        t = jnp.asarray([0.3, 0.7])
+        vars_ = net.init(jax.random.key(0), fwd, key, bwd, t, zeros(), train=False)
+        out = net.apply(vars_, fwd, key, bwd, t, zeros(), train=False)
+        assert out.shape == (B, N, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_t_zero_returns_key(self, rng):
+        """At t=0 the warp term vanishes -> output equals the key frame."""
+        from pci_tpu.models import ISAPCInetAsym
+
+        net = ISAPCInetAsym(forward_field=1, backward_field=1)
+        fwd, key, bwd = [cloud(rng)], cloud(rng), [cloud(rng)]
+        t = jnp.asarray([0.0, 0.0])
+        vars_ = net.init(jax.random.key(0), fwd, key, bwd, t, zeros(), train=False)
+        out = net.apply(vars_, fwd, key, bwd, t, zeros(), train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(key), atol=1e-5)
+
+
 class TestPolyPCI:
     def test_forward(self, rng):
         field, degree = 2, 2
