@@ -39,11 +39,17 @@ class PointINet(nn.Module):
 
         flow = FlowNet3D(name="flow")
         flow_train = train and not self.freeze_flow
-        flow_forward = flow(xyz1, xyz2, feats1, feats2, train=flow_train, momentum=momentum)
-        flow_backward = flow(xyz2, xyz1, feats2, feats1, train=flow_train, momentum=momentum)
+        # forward and backward flows are independent: one batched pass
+        # (the reference runs them sequentially, models.py:104-108)
+        B = xyz1.shape[0]
+        src = jnp.concatenate([xyz1, xyz2], axis=0)
+        dst = jnp.concatenate([xyz2, xyz1], axis=0)
+        f_src = jnp.concatenate([feats1, feats2], axis=0)
+        f_dst = jnp.concatenate([feats2, feats1], axis=0)
+        flows = flow(src, dst, f_src, f_dst, train=flow_train, momentum=momentum)
         if self.freeze_flow:
-            flow_forward = lax.stop_gradient(flow_forward)
-            flow_backward = lax.stop_gradient(flow_backward)
+            flows = lax.stop_gradient(flows)
+        flow_forward, flow_backward = flows[:B], flows[B:]
 
         tb = t[:, None, None].astype(jnp.float32)
         warped1 = xyz1 + flow_forward * tb

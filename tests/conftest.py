@@ -22,3 +22,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# Persistent compilation cache: the suite is compile-bound (FlowNet3D and
+# ISAPCInet graphs take ~30-120s each to build on CPU); caching makes
+# repeat runs ~10x faster.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

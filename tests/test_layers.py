@@ -201,8 +201,9 @@ class TestPointnet2:
 
     def test_feature_abstract(self, rng):
         ffab = pnn.Pointnet2FeatureAbstract(32)
-        xyz = cloud(rng, 1, 2048, scale=1.0)
+        xyz = cloud(rng, 1, 1200, scale=1.0)
+        N = 1200
         vars_ = ffab.init(jax.random.key(0), xyz, train=False)
         out = ffab.apply(vars_, xyz, train=False)
-        assert out.shape == (1, 2048, 32)
+        assert out.shape == (1, N, 32)
         assert np.isfinite(np.asarray(out)).all()

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from pci_tpu.models import FlowNet3D, ISAPCInet, PointINet, PointINet2, PolyPCI
 
-N = 256
+N = 160
 B = 2
 
 
@@ -117,7 +117,7 @@ class TestPointINet:
 class TestISAPCInet:
     @pytest.mark.parametrize("field", [0, 2])
     def test_forward(self, rng, field):
-        net = ISAPCInet(field=field)
+        net = ISAPCInet(field=field, ff_out_c=32, tr_out_c=32)
         fwd = [cloud(rng) for _ in range(field)]
         keys = [cloud(rng), cloud(rng)]
         bwd = [cloud(rng) for _ in range(field)]

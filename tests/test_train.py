@@ -18,7 +18,7 @@ from pci_tpu.train import (
     make_sceneflow_train_step,
 )
 
-N, B, FIELD = 128, 2, 1
+N, B, FIELD = 96, 2, 1
 
 
 def make_batch(seed=0, n=N, b=B, field=FIELD):
@@ -39,7 +39,7 @@ def make_batch(seed=0, n=N, b=B, field=FIELD):
 
 @pytest.fixture(scope="module")
 def setup():
-    model = ISAPCInet(field=FIELD, ff_out_c=32, tr_out_c=32)
+    model = ISAPCInet(field=FIELD, ff_out_c=16, tr_out_c=16)
     batch = make_batch()
     rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
     variables = model.init(
