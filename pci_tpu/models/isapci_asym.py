@@ -69,20 +69,19 @@ class ISAPCInetAsym(nn.Module):
         flow_train = train and not self.freeze_flow
         t32 = t.astype(jnp.float32)
 
-        # batch all (f + b) flow pairs into one FlowNet3D pass
+        # sequential parameter-shared flow calls (narrow calls pipeline
+        # better than one wide batched pass on v5e; see ISAPCInet)
         srcs = list(forward_pcds) + [key_pcd] * self.backward_field
         dsts = [key_pcd] * self.forward_field + list(backward_pcds)
-        src = jnp.concatenate(srcs, axis=0)
-        dst = jnp.concatenate(dsts, axis=0)
-        feat = jnp.tile(ini_feature, (len(srcs), 1, 1))
-        flows = flow(src, dst, feat, feat, train=flow_train, momentum=momentum)
-        if self.freeze_flow:
-            flows = lax.stop_gradient(flows)
-        flows = flows.reshape(len(srcs), B, N, 3)
+        flow_list = []
+        for s, d in zip(srcs, dsts):
+            f = flow(s, d, ini_feature, ini_feature,
+                     train=flow_train, momentum=momentum)
+            if self.freeze_flow:
+                f = lax.stop_gradient(f)
+            flow_list.append(f)
         # channel concat: [B, N, 3*(f+b)] in pair order
-        input_flows = jnp.concatenate(
-            [flows[i] for i in range(len(srcs))], axis=-1
-        )
+        input_flows = jnp.concatenate(flow_list, axis=-1)
 
         weights = TnetAsym(self.forward_field, self.backward_field, name="tnet")(t32)
         weighted = input_flows * weights[:, None, :]

@@ -50,21 +50,21 @@ class PolyPCI(nn.Module):
         B, N, _ = ini_feature.shape
         flow = FlowNet3D(name="flow")
         flow_train = train and not self.freeze_flow
-        feat2 = jnp.concatenate([ini_feature, ini_feature], axis=0)
 
         traj = [key_pcd]
         prev_f, prev_b = key_pcd, key_pcd
         for i in range(self.field):
-            # forward and backward chains are independent -> one batched call
-            src = jnp.concatenate([prev_f, prev_b], axis=0)
-            dst = jnp.concatenate([forward_pcds[i], backward_pcds[i]], axis=0)
-            flows = flow(src, dst, feat2, feat2, train=flow_train, momentum=momentum)
+            # sequential flow calls: narrow calls pipeline better than one
+            # wide batched pass on v5e (see ISAPCInet)
+            ff = flow(prev_f, forward_pcds[i], ini_feature, ini_feature,
+                      train=flow_train, momentum=momentum)
+            fb = flow(prev_b, backward_pcds[i], ini_feature, ini_feature,
+                      train=flow_train, momentum=momentum)
             if self.freeze_flow:
-                flows = lax.stop_gradient(flows)
-            warped_f = prev_f + flows[:B]
-            warped_b = prev_b + flows[B:]
-            prev_f = rebuild(warped_f, forward_pcds[i])
-            prev_b = rebuild(warped_b, backward_pcds[i])
+                ff = lax.stop_gradient(ff)
+                fb = lax.stop_gradient(fb)
+            prev_f = rebuild(prev_f + ff, forward_pcds[i])
+            prev_b = rebuild(prev_b + fb, backward_pcds[i])
             traj.append(prev_f)
             traj.append(prev_b)
 
