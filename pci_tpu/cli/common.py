@@ -9,6 +9,7 @@ minus their defects (hard-coded wandb keys, broken imports).
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -67,6 +68,10 @@ def add_model_flags(p: argparse.ArgumentParser):
     p.add_argument("--pretrained_flow_model", type=str, default=None)
     p.add_argument("--pretrained_self_model", type=str, default=None)
     p.add_argument("--save_dir", type=str, default="./result_models")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest full-state checkpoint in "
+                        "save_dir (params + optimizer state + step — the "
+                        "reference loses both on restart)")
 
 
 def build_isapci(args, batch_example):
@@ -145,13 +150,26 @@ def run_interp_training(args, model, variables, dataset):
         freeze_subtrees=("flow",) if args.freeze else (),
     )
     state = create_train_state(variables["params"], variables["batch_stats"], optimizer)
+
+    start_epoch = 0
+    state_dir = os.path.join(args.save_dir, "state")
+    if getattr(args, "resume", False):
+        from ..train import load_checkpoint
+
+        try:
+            state = load_checkpoint(state_dir, state)
+            start_epoch = int(state.step) // steps_per_epoch
+            print(f"resumed from {state_dir} at epoch {start_epoch}")
+        except FileNotFoundError:
+            print(f"no checkpoint under {state_dir}; starting fresh")
+
     step_fn = jax.jit(make_interp_train_step(model, optimizer), donate_argnums=(0,))
 
     logger = MetricLogger(args.log_dir, use_wandb=args.use_wandb, config=vars(args))
     keeper = BestKeeper(args.save_dir, prefix=f"field_{args.field}")
     rng = jax.random.key(args.seed + 2)
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         momentum = jnp.asarray(float(mom_sched(epoch)))
         total, count = 0.0, 0
         t_epoch = time.time()
@@ -174,5 +192,8 @@ def run_interp_training(args, model, variables, dataset):
         )
         if saved:
             print(f"Best train loss: {keeper.best:.4f} -> saved {saved}")
+        from ..train import save_checkpoint
+
+        save_checkpoint(state_dir, state, epoch, loss=epoch_loss)
     logger.close()
     return state

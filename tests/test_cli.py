@@ -67,6 +67,13 @@ class TestTrainCli:
         # metrics were logged
         assert os.path.exists(os.path.join(log_dir, "metrics.jsonl"))
 
+        # resume picks up the full-state checkpoint and continues
+        train_cli.main(common_args(scene_dir, [
+            "--epochs", "3", "--batch_size", "2",
+            "--save_dir", save_dir, "--log_dir", log_dir,
+            "--init_lr", "0.001", "--resume",
+        ]))
+
         # eval with the trained checkpoint
         from pci_tpu.cli import test as test_cli
 
