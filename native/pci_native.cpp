@@ -13,10 +13,17 @@
 #include <limits>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 extern "C" {
 
 // Greedy farthest point sampling over an [n, stride] float32 array whose
 // first 3 columns are xyz.  Writes `npoint` selected row indices.
+// The inner relax+argmax pass is OpenMP-parallel (greedy iterations stay
+// sequential by definition); ties break to the lowest index, matching the
+// single-thread and device implementations exactly.
 void pci_fps_indices(const float* pts, int64_t n, int64_t stride,
                      int64_t npoint, int64_t start, int32_t* out_idx) {
   if (n <= 0 || npoint <= 0) return;
@@ -29,18 +36,45 @@ void pci_fps_indices(const float* pts, int64_t n, int64_t stride,
     const float cy = pts[farthest * stride + 1];
     const float cz = pts[farthest * stride + 2];
     float best_d = -1.0f;
-    int64_t best_j = 0;
+    int64_t best_j = n;
+#ifdef _OPENMP
+#pragma omp parallel
+    {
+      float loc_d = -1.0f;
+      int64_t loc_j = n;
+#pragma omp for nowait
+      for (int64_t j = 0; j < n; ++j) {
+        const float dx = pts[j * stride + 0] - cx;
+        const float dy = pts[j * stride + 1] - cy;
+        const float dz = pts[j * stride + 2] - cz;
+        const float d = dx * dx + dy * dy + dz * dz;
+        if (d < dist[j]) dist[j] = d;
+        if (dist[j] > loc_d || (dist[j] == loc_d && j < loc_j)) {
+          loc_d = dist[j];
+          loc_j = j;
+        }
+      }
+#pragma omp critical
+      {
+        if (loc_d > best_d || (loc_d == best_d && loc_j < best_j)) {
+          best_d = loc_d;
+          best_j = loc_j;
+        }
+      }
+    }
+#else
     for (int64_t j = 0; j < n; ++j) {
       const float dx = pts[j * stride + 0] - cx;
       const float dy = pts[j * stride + 1] - cy;
       const float dz = pts[j * stride + 2] - cz;
       const float d = dx * dx + dy * dy + dz * dz;
       if (d < dist[j]) dist[j] = d;
-      if (dist[j] > best_d) {
+      if (dist[j] > best_d || (dist[j] == best_d && j < best_j)) {
         best_d = dist[j];
         best_j = j;
       }
     }
+#endif
     farthest = best_j;
   }
 }

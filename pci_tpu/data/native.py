@@ -34,7 +34,7 @@ def _load():
                 return _LIB
             try:
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", so, src],
+                    ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17", "-o", so, src],
                     check=True, capture_output=True,
                 )
             except (subprocess.CalledProcessError, FileNotFoundError):
