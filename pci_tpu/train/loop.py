@@ -19,24 +19,36 @@ from .state import TrainState
 
 
 def make_interp_train_step(
-    model, optimizer: optax.GradientTransformation
+    model, optimizer: optax.GradientTransformation, remat: bool = False
 ) -> Callable:
     """Train step for interpolation models (ISAPCInet / PointINet2 style
     batches: forward/key/backward frame lists + t + gt).
 
     Returns ``step(state, batch, rng, lr_scale_epoch_momentum) -> (state, metrics)``;
     jit once and reuse — lr and momentum enter as traced scalars.
+
+    ``remat=True`` rematerializes the forward pass in the backward
+    (jax.checkpoint): ~2x activation-memory headroom for bigger
+    batches/clouds at the cost of a second forward.
     """
 
     def step(state: TrainState, batch, rng, momentum):
-        def loss_fn(params):
-            out, new_vars = model.apply(
+        def fwd(params, forward, keys, backward, t, ini, key):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["forward"], batch["keys"], batch["backward"],
-                batch["t"], batch["ini"],
+                forward, keys, backward, t, ini,
                 train=True, momentum=momentum,
-                rngs={"sample": rng},
+                rngs={"sample": key},
                 mutable=["batch_stats"],
+            )
+
+        if remat:
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(params):
+            out, new_vars = fwd(
+                params, batch["forward"], batch["keys"], batch["backward"],
+                batch["t"], batch["ini"], rng,
             )
             loss = ops.chamfer_distance(out, batch["gt"])
             return loss, new_vars["batch_stats"]

@@ -96,6 +96,16 @@ class TestTrainStep:
         )
         assert moved
 
+    def test_remat_matches(self, setup):
+        """Rematerialized step computes the same loss/gradients."""
+        model, optimizer, state, step, batch = setup
+        step_r = jax.jit(make_interp_train_step(model, optimizer, remat=True))
+        _, m_plain = step(state, batch, jax.random.key(9), jnp.asarray(0.5))
+        _, m_remat = step_r(state, batch, jax.random.key(9), jnp.asarray(0.5))
+        assert float(m_remat["loss"]) == pytest.approx(
+            float(m_plain["loss"]), rel=1e-5
+        )
+
     def test_eval_step(self, setup):
         model, optimizer, state, step, batch = setup
         eval_step = jax.jit(make_interp_eval_step(model))
