@@ -4,10 +4,13 @@ One kernel computes squared distances tile-by-tile and keeps a bucketed
 candidate set in VMEM, so the ``[S, N]`` distance matrix never
 materializes in HBM.  The algorithm is the hardware TopK recipe:
 
-  1. the whole augmented key cloud ([5, N] layout, 512KB at 16k points)
+  1. the whole key cloud ([3, N] transposed layout, 200KB at 16k points)
      rides along each query-tile grid step; key tiles loop in-kernel,
-  2. ``d`` is one K=5 MXU matmul over augmented coordinates (see the
-     kernel docstring) at HIGHEST precision,
+  2. ``d = sum_c (p_c - q_c)^2`` elementwise on the VPU after an
+     in-kernel [3, TK] -> [TK, 3] transpose.  A matmul formulation is
+     output-bound on the MXU at tiny K (128 outputs/cycle -> 34ms floor
+     at 64k x 64k regardless of precision, measured); the VPU form is
+     ~4x faster and exact fp32 (no bf16 cancellation),
   3. each length-``L`` key bucket reduces to its min (+ local argmin)
      into a VMEM candidate buffer,
   4. exact-select the k smallest among the ``N/L`` bucket minima
@@ -48,44 +51,41 @@ _BIG = 1e30  # python float: safe to close over inside the kernel
 
 
 def _knn_kernel(valid_ref, qt_ref, p_ref, out_d_ref, out_i_ref,
-                cand_d, cand_i, *, k, n, l):
+                cand_d, cand_i, *, k, n, l, masked):
     """Grid: (B, S // TQ) — the whole key cloud rides along per step.
 
-    qt_ref: [1, 5, TQ] augmented query tile ([-2qx, -2qy, -2qz, 1, |q|^2]).
-    p_ref:  [1, 5, N] augmented key cloud ([px, py, pz, |p|^2, 1]) —
-            512KB of VMEM at 16k points, so the whole cloud stays
-            resident and key tiles loop INSIDE the kernel (a key-tile
-            grid dimension costs ~10us of step machinery per tile; at
-            64k keys that was 40ms of pure overhead).
+    qt_ref: [1, 3, TQ] query tile, transposed (rows = x, y, z).
+    p_ref:  [1, 3, N] key cloud, transposed — 200KB of VMEM at 16k
+            points, so the whole cloud stays resident and key tiles loop
+            INSIDE the kernel.  The [N, 3] layout would pad 3 lanes to
+            128 (42x VMEM/DMA waste).
     cand_*: [N // l, TQ] bucket minima scratch.
 
-    The squared distance is ONE K=5 MXU matmul:
-      d = p.(-2q) + |p|^2 * 1 + 1 * |q|^2.
-    Natural [5, T] layouts mean the DMA moves 5 (padded 8) sublanes per
-    block instead of 128 padded lanes — 16x less HBM traffic than the
-    [TK, 3] layout.  HIGHEST precision (multi-pass bf16, fp32-exact; Mosaic rejects HIGH)
-    keeps the cancellation-prone cross term accurate — default
-    single-pass bf16 products lose ~1e-2 relative, corrupting ranking.
+    Distance: per key tile, transpose [3, TK] -> [TK, 3] (cheap Mosaic
+    relayout) and accumulate (p_c - q_c)^2 on the VPU.  Exact fp32; a
+    K~8 MXU matmul is output-bound (measured 40ms at 64k x 64k vs ~10ms
+    elementwise) and single-pass bf16 would corrupt ranking.
     """
     nb_total = n // l
     nb_tile = TK // l
     b = pl.program_id(0)
     valid_n = valid_ref[b]
-    q = qt_ref[0]  # [5, TQ]
 
-    for j in range(n // TK):
-        p = p_ref[0, :, pl.ds(j * TK, TK)]  # [5, TK]
-        d = jax.lax.dot_general(
-            p, q,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # [TK, TQ]
-        d = jnp.maximum(d, 0.0)
+    def key_tile(j, _):
+        # fori_loop (not an unrolled python loop): Mosaic must reuse the
+        # [TK, TQ] buffers across iterations or VMEM blows past 128MB
+        p = jnp.transpose(p_ref[0, :, pl.ds(j * TK, TK)])  # [TK, 3]
+        d = jnp.zeros((TK, TQ), jnp.float32)
+        for c in range(3):
+            diff = p[:, c][:, None] - qt_ref[0, c, :][None, :]
+            d = d + diff * diff
 
-        # prefix mask: global key index >= valid_n -> sentinel
-        gidx = jax.lax.broadcasted_iota(jnp.int32, (TK, TQ), 0) + j * TK
-        d = jnp.where(gidx < valid_n, d, _BIG)
+        if masked:
+            # prefix mask: global key index >= valid_n -> sentinel.
+            # Statically skipped for unmasked callers (transformer, plain
+            # kNN, chamfer); padding is excluded by far-away coords.
+            gidx = jax.lax.broadcasted_iota(jnp.int32, (TK, TQ), 0) + j * TK
+            d = jnp.where(gidx < valid_n, d, _BIG)
 
         # bucket reduce over keys: [TK, TQ] -> [TK//l, TQ]
         d3 = d.reshape(nb_tile, l, TQ)
@@ -97,6 +97,9 @@ def _knn_kernel(valid_ref, qt_ref, p_ref, out_d_ref, out_i_ref,
         base = jax.lax.broadcasted_iota(jnp.int32, (nb_tile, TQ), 0) * l + j * TK
         cand_d[pl.ds(j * nb_tile, nb_tile), :] = bmin
         cand_i[pl.ds(j * nb_tile, nb_tile), :] = base + barg
+        return 0
+
+    lax.fori_loop(0, n // TK, key_tile, 0)
 
     # exact top-k extraction over candidate buckets
     cd = cand_d[...]  # [nb_total, TQ]
@@ -145,28 +148,24 @@ def knn_pallas(
         points = jnp.pad(points, ((0, 0), (0, n_pad), (0, 0)), constant_values=1e15)
     Np = N + n_pad
 
-    # augmented transposed layouts (see kernel docstring)
+    # transposed layouts (see kernel docstring)
     q_t = jnp.swapaxes(query, 1, 2)  # [B, 3, S+pad]
-    q2 = jnp.sum(q_t * q_t, axis=1, keepdims=True)  # [B, 1, S+pad]
-    ones_q = jnp.ones_like(q2)
-    q_aug = jnp.concatenate([-2.0 * q_t, ones_q, q2], axis=1)  # [B, 5, S+pad]
     p_t = jnp.swapaxes(points, 1, 2)  # [B, 3, Np]
-    p2 = jnp.sum(p_t * p_t, axis=1, keepdims=True)
-    ones_p = jnp.ones_like(p2)
-    p_aug = jnp.concatenate([p_t, p2, ones_p], axis=1)  # [B, 5, Np]
 
     if valid_n is None:
         valid = jnp.full((B,), N, jnp.int32)
     else:
         valid = jnp.minimum(valid_n.astype(jnp.int32), N).reshape(B)
 
-    kernel = functools.partial(_knn_kernel, k=k, n=Np, l=bucket)
+    kernel = functools.partial(
+        _knn_kernel, k=k, n=Np, l=bucket, masked=valid_n is not None
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, (S + s_pad) // TQ),
         in_specs=[
-            pl.BlockSpec((1, 5, TQ), lambda b, i, valid: (b, 0, i)),
-            pl.BlockSpec((1, 5, Np), lambda b, i, valid: (b, 0, 0)),
+            pl.BlockSpec((1, 3, TQ), lambda b, i, valid: (b, 0, i)),
+            pl.BlockSpec((1, 3, Np), lambda b, i, valid: (b, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, TQ, k), lambda b, i, valid: (b, i, 0)),
@@ -184,5 +183,5 @@ def knn_pallas(
             jax.ShapeDtypeStruct((B, S + s_pad, k), jnp.float32),
             jax.ShapeDtypeStruct((B, S + s_pad, k), jnp.int32),
         ],
-    )(valid, q_aug, p_aug)
+    )(valid, q_t, p_t)
     return out_d[:, :S], out_i[:, :S]

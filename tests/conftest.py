@@ -18,10 +18,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # The container's sitecustomize registers the TPU PJRT plugin and calls
 # jax.config.update("jax_platforms", "axon,cpu"), which overrides the env
 # var.  Re-override here so tests are hermetic-CPU regardless.
+# PCI_TPU_TESTS=1 keeps the TPU backend (for tests/test_pallas_tpu.py).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.devices()[0].platform == "cpu", jax.devices()
+if not os.environ.get("PCI_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu", jax.devices()
 
 # Persistent compilation cache: the suite is compile-bound (FlowNet3D and
 # ISAPCInet graphs take ~30-120s each to build on CPU); caching makes
