@@ -131,8 +131,12 @@ def knn_prefix(
     Args:
       query: ``[B, S, C]``.
       points: ``[B, N, C]`` — only the prefix is eligible.
-      k: neighbor count (static).  Callers must guarantee ``valid_n >= 1``;
-        if ``valid_n < k`` the trailing neighbors repeat prefix points.
+      k: neighbor count (static).  Callers must guarantee ``valid_n >= 1``.
+        If ``valid_n < k``, the first ``valid_n`` output slots hold real
+        in-prefix neighbors (finite distances, sorted first) and the rest
+        carry the sentinel distance with arbitrary indices — consume at
+        most ``valid_n`` slots (the fusion head's ``k1 <= N1`` guarantees
+        this).
       valid_n: ``[B]`` int32 per-sample prefix lengths.
 
     Returns:
