@@ -35,6 +35,7 @@ def parse_args(argv=None):
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--log_dir", type=str, default="./logs")
     p.add_argument("--emd", action="store_true", help="also compute EMD (x36 scale)")
+    p.add_argument("--emd_method", type=str, default="auction", choices=["auction", "sinkhorn"])
     add_nuscenes_flags(p)
     add_model_flags(p)
     return p.parse_args(argv)
@@ -70,7 +71,8 @@ def main(argv=None):
         cds.extend(np.asarray(cd).tolist())
         rec = {"cd": float(jnp.mean(cd)), "t": float(batch["t"][0])}
         if args.emd:
-            e = float(ops.emd(out, batch["gt"]))
+            emd_fn = ops.sinkhorn_emd if args.emd_method == "sinkhorn" else ops.emd
+            e = float(emd_fn(out, batch["gt"]))
             emds.append(e)
             rec["emd"] = e
         logger.log(rec, step=i)

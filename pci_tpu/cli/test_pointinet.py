@@ -31,6 +31,7 @@ def parse_args(argv=None):
     p.add_argument("--pretrained_flow_model", type=str, default=None)
     p.add_argument("--pretrained_interp_model", type=str, default=None)
     p.add_argument("--no_emd", action="store_true")
+    p.add_argument("--emd_method", type=str, default="auction", choices=["auction", "sinkhorn"])
     p.add_argument("--log_dir", type=str, default="./logs")
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -84,7 +85,8 @@ def main(argv=None):
         cds.append(cd)
         rec = {"cd": cd}
         if not args.no_emd:
-            e = float(ops.emd(out[..., :3], batch["mid_pc"][..., :3]))
+            emd_fn = ops.sinkhorn_emd if args.emd_method == "sinkhorn" else ops.emd
+            e = float(emd_fn(out[..., :3], batch["mid_pc"][..., :3]))
             emds.append(e)
             rec["emd"] = e
         logger.log(rec, step=i)

@@ -15,7 +15,7 @@ from .chamfer import (
     nearest_neighbor_idx,
 )
 from .distance import pdist2squared, square_distance
-from .emd import emd, emd_assignment_dist
+from .emd import emd, emd_assignment_dist, sinkhorn_emd
 from .fps import fps, fps_points
 from .gather import index_points, knn_gather
 from .interpolate import three_nn_interpolate
@@ -32,6 +32,7 @@ __all__ = [
     "pdist2squared",
     "square_distance",
     "emd",
+    "sinkhorn_emd",
     "emd_assignment_dist",
     "fps",
     "fps_points",

@@ -263,3 +263,23 @@ class TestGather:
         got = np.asarray(ops.index_points(jnp.asarray(pts), jnp.asarray(idx)))
         want = np.stack([pts[b][idx[b]] for b in range(2)])
         np.testing.assert_array_equal(got, want)
+
+
+class TestSinkhornEmd:
+    def test_close_to_exact_on_small_clouds(self, rng):
+        from scipy.optimize import linear_sum_assignment
+
+        a = make_cloud(rng, 1, 48, scale=1.0)
+        b = make_cloud(rng, 1, 48, scale=1.0)
+        got = float(ops.sinkhorn_emd(jnp.asarray(a), jnp.asarray(b), reg=0.01, iters=500))
+        D = ref.square_distance_np(a[0][None], b[0][None])[0]
+        ri, ci = linear_sum_assignment(D)
+        exact = 36.0 * D[ri, ci].mean()
+        # entropic bias: within 25% above (never far below) the optimum
+        assert exact * 0.9 <= got <= exact * 1.3, (got, exact)
+
+    def test_identical_clouds_near_zero(self, rng):
+        a = jnp.asarray(make_cloud(rng, 1, 32, scale=1.0))
+        v = float(ops.sinkhorn_emd(a, a, reg=0.005, iters=500))
+        # entropic smoothing leaves only a small positive floor
+        assert v < 36.0 * 0.1
