@@ -50,22 +50,33 @@ def main():
     rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
     variables = model.init(rngs, p1, p2, zeros, zeros, t, train=False)
 
-    @jax.jit
     def fwd(variables, p1, p2, t, key):
         return model.apply(
             variables, p1, p2, zeros, zeros, t,
             train=False, rngs={"sample": key},
         )
 
-    # warmup / compile
-    out = fwd(variables, p1, p2, t, jax.random.key(2))
-    out.block_until_ready()
+    # Timing recipe: `iters` chained forwards inside ONE jitted lax.scan,
+    # synchronized by a VALUE FETCH.  Through the axon TPU tunnel
+    # block_until_ready() returns before the computation finishes and a
+    # python dispatch loop measures ~24 ms/call of tunnel latency instead
+    # of compute — only scan + fetch measures the device (CLAUDE.md).
+    iters = 20
 
-    iters = 10
+    @jax.jit
+    def run(variables, p1, p2, t, key):
+        def body(carry, i):
+            out = fwd(variables, p1 + carry, p2, t, jax.random.fold_in(key, i))
+            return 1e-9 * jnp.sum(out[..., 0]), None
+
+        carry, _ = jax.lax.scan(
+            body, jnp.float32(0.0), jnp.arange(iters), length=iters
+        )
+        return carry
+
+    float(run(variables, p1, p2, t, jax.random.key(2)))  # compile + warm
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = fwd(variables, p1, p2, t, jax.random.key(i))
-    out.block_until_ready()
+    float(run(variables, p1, p2, t, jax.random.key(3)))
     dt = (time.perf_counter() - t0) / iters
 
     fps = 1.0 / dt

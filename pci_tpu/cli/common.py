@@ -46,6 +46,9 @@ def add_common_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--log_dir", type=str, default="./logs")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_every", type=int, default=10,
+                   help="sync loss device->host every N steps (per-step "
+                        "sync would stall the async dispatch pipeline)")
 
 
 def add_nuscenes_flags(p: argparse.ArgumentParser):
@@ -169,19 +172,35 @@ def run_interp_training(args, model, variables, dataset):
     keeper = BestKeeper(args.save_dir, prefix=f"field_{args.field}")
     rng = jax.random.key(args.seed + 2)
 
+    log_every = int(getattr(args, "log_every", 10))
+
     for epoch in range(start_epoch, args.epochs):
         momentum = jnp.asarray(float(mom_sched(epoch)))
         total, count = 0.0, 0
         t_epoch = time.time()
+        # Device-side loss accumulation: float(metrics["loss"]) every step
+        # would block on a device->host fetch (~28 ms through the TPU
+        # tunnel) inside the hot loop.  Keep losses as device arrays and
+        # sync every `log_every` steps.
+        pending, t_window = [], time.time()
         for batch in loader:
             batch = batch_to_device(batch)
             rng, sub = jax.random.split(rng)
-            t0 = time.time()
             state, metrics = step_fn(state, batch, sub, momentum)
-            loss = float(metrics["loss"])
-            logger.log({"current_train_loss": loss, "time_per_step": time.time() - t0})
-            total += loss
-            count += 1
+            pending.append(metrics["loss"])
+            if len(pending) >= log_every:
+                dt = (time.time() - t_window) / len(pending)
+                for loss in map(float, pending):
+                    logger.log({"current_train_loss": loss, "time_per_step": dt})
+                    total += loss
+                    count += 1
+                pending, t_window = [], time.time()
+        if pending:
+            dt = (time.time() - t_window) / len(pending)
+            for loss in map(float, pending):
+                logger.log({"current_train_loss": loss, "time_per_step": dt})
+                total += loss
+                count += 1
         epoch_loss = total / max(count, 1)
         logger.log({"epochs": epoch, "epoch_loss": epoch_loss})
         print(f"Epoch {epoch + 1} finished, loss = {epoch_loss:.6f} "

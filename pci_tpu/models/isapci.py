@@ -6,10 +6,14 @@ Models/New_Models_field_0.py:88-148 (field-0 variant),
 Models/New_Models0_noT_96.py:91-172 (no-Tnet variant),
 Models/Models.py:130-188 (PointINet2).
 
-TPU-first redesign of the flow fan-out: the reference runs 4*field
-sequential FlowNet3D calls per step; here all pairs stack into the batch
-axis and run as ONE batched FlowNet3D program — better MXU utilization and
-an embarrassingly-parallel axis for the device mesh.
+Flow fan-out: the 4*field FlowNet3D calls run SEQUENTIALLY with shared
+parameters (a python loop over jit-traced calls).  A batched variant
+(stacking all pairs into the batch axis) was built and measured SLOWER on
+v5e (plus ~8x compile time) because FlowNet3D at 16k points is
+gather/top-k bound, not MXU bound — wider batches don't amortize anything
+and blow up VMEM working sets (commits 9b438a2 / 6a724d7).  The pairs
+remain embarrassingly parallel across the mesh's data axis if sharded
+upstream.
 
 Two deliberate deviations from reference quirks (no pretrained weights
 exist, so weight-layout compatibility is moot):

@@ -18,6 +18,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host (DCN) entry: initialize jax.distributed so that
+    ``jax.devices()`` spans all hosts and ``make_mesh`` can lay the
+    ``data`` axis across DCN while ``points`` stays on intra-slice ICI.
+
+    No-args form auto-detects from the cluster environment (TPU pod
+    metadata / SLURM); explicit args mirror jax.distributed.initialize.
+    Safe to call once per process before any other jax API.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(n_data: int | None = None, n_points: int = 1, devices=None) -> Mesh:
     """Build a ``(data, points)`` mesh.
 

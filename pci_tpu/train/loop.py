@@ -24,8 +24,9 @@ def make_interp_train_step(
     """Train step for interpolation models (ISAPCInet / PointINet2 style
     batches: forward/key/backward frame lists + t + gt).
 
-    Returns ``step(state, batch, rng, lr_scale_epoch_momentum) -> (state, metrics)``;
-    jit once and reuse — lr and momentum enter as traced scalars.
+    Returns ``step(state, batch, rng, momentum) -> (state, metrics)``;
+    jit once and reuse — the BN momentum enters as a traced scalar (the
+    lr schedule lives inside the optax optimizer).
 
     ``remat=True`` rematerializes the forward pass in the backward
     (jax.checkpoint): ~2x activation-memory headroom for bigger

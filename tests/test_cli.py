@@ -89,9 +89,6 @@ class TestTrainCli:
         # just the eval path over a few windows (degree 1)
         import pci_tpu.cli.train_polypci as mod
 
-        class _Loader:  # limit windows for speed
-            pass
-
         argv = [
             "--root", str(scene_dir / "lidar"),
             "--scenes_list", str(scene_dir / "scenes.txt"),
