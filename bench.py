@@ -56,28 +56,35 @@ def main():
             train=False, rngs={"sample": key},
         )
 
-    # Timing recipe: `iters` chained forwards inside ONE jitted lax.scan,
-    # synchronized by a VALUE FETCH.  Through the axon TPU tunnel
-    # block_until_ready() returns before the computation finishes and a
-    # python dispatch loop measures ~24 ms/call of tunnel latency instead
-    # of compute — only scan + fetch measures the device (CLAUDE.md).
-    iters = 20
+    # Timing recipe: chained forwards inside ONE jitted lax.scan,
+    # synchronized by a VALUE FETCH (through the axon TPU tunnel
+    # block_until_ready() returns before the computation finishes).  The
+    # fetch costs a FIXED ~36-42 ms round trip independent of scan length,
+    # so a single scan overstates per-frame time by ~40/iters ms; timing
+    # two scan lengths and dividing the difference cancels it (CLAUDE.md).
+    def make(iters):
+        @jax.jit
+        def run(variables, p1, p2, t, key):
+            def body(carry, i):
+                out = fwd(variables, p1 + carry, p2, t, jax.random.fold_in(key, i))
+                return 1e-9 * jnp.sum(out[..., 0]), None
 
-    @jax.jit
-    def run(variables, p1, p2, t, key):
-        def body(carry, i):
-            out = fwd(variables, p1 + carry, p2, t, jax.random.fold_in(key, i))
-            return 1e-9 * jnp.sum(out[..., 0]), None
+            carry, _ = jax.lax.scan(
+                body, jnp.float32(0.0), jnp.arange(iters), length=iters
+            )
+            return carry
 
-        carry, _ = jax.lax.scan(
-            body, jnp.float32(0.0), jnp.arange(iters), length=iters
-        )
-        return carry
+        return run
 
-    float(run(variables, p1, p2, t, jax.random.key(2)))  # compile + warm
+    lo, hi = make(10), make(50)
+    float(lo(variables, p1, p2, t, jax.random.key(2)))  # compile + warm
+    float(hi(variables, p1, p2, t, jax.random.key(2)))
     t0 = time.perf_counter()
-    float(run(variables, p1, p2, t, jax.random.key(3)))
-    dt = (time.perf_counter() - t0) / iters
+    float(lo(variables, p1, p2, t, jax.random.key(3)))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(hi(variables, p1, p2, t, jax.random.key(3)))
+    dt = (time.perf_counter() - t0 - t_lo) / 40
 
     fps = 1.0 / dt
     baseline_fps = 1.0 / 0.2037  # paper Table 6, RTX 2060 @ 16,384 pts

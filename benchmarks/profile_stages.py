@@ -17,32 +17,45 @@ import numpy as np
 
 
 def _scan_time(fn, args, reps, label):
-    """Time `reps` chained applications of fn inside one jit.
+    """Time chained applications of fn inside one jit — two-point slope.
 
     Synchronization is a VALUE FETCH (float()), not block_until_ready():
     through the axon TPU tunnel block_until_ready returns before the
-    computation finishes (measured: a 20x16k-kNN scan 'completes' in
-    0.5 ms by block, 72 ms by fetch).  Only the fetch is trustworthy.
+    computation finishes.  The fetch itself costs a FIXED ~36-42 ms
+    round-trip independent of scan length (measured: a trivial
+    elementwise scan takes 42 ms at reps=1 and 36 ms at reps=400), so a
+    single timing at reps=R overstates per-iteration time by ~40/R ms.
+    Timing at two rep counts and dividing the difference cancels the
+    fixed cost exactly.
     """
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def run(seed, args):
-        def body(carry, _):
-            out = fn(*args, carry)
-            # fold output into a scalar carry so iterations chain
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            red = jnp.sum(leaf.astype(jnp.float32) ** 2) ** 0.5
-            return carry * 1e-6 + 1e-6 * red, None
+    def make(length):
+        @jax.jit
+        def run(seed, args):
+            def body(carry, _):
+                out = fn(*args, carry)
+                # fold output into a scalar carry so iterations chain
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                red = jnp.sum(leaf.astype(jnp.float32) ** 2) ** 0.5
+                return carry * 1e-6 + 1e-6 * red, None
 
-        carry, _ = jax.lax.scan(body, seed, None, length=reps)
-        return carry
+            carry, _ = jax.lax.scan(body, seed, None, length=length)
+            return carry
 
-    float(run(jnp.float32(0.0), args))  # compile + warm
+        return run
+
+    lo, hi = make(reps), make(5 * reps)
+    float(lo(jnp.float32(0.0), args))  # compile + warm
+    float(hi(jnp.float32(0.0), args))
     t0 = time.perf_counter()
-    float(run(jnp.float32(1.0), args))
-    dt = (time.perf_counter() - t0) / reps * 1e3
+    float(lo(jnp.float32(1.0), args))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(hi(jnp.float32(1.0), args))
+    t_hi = time.perf_counter() - t0
+    dt = (t_hi - t_lo) / (4 * reps) * 1e3
     print(f"{label:40s} {dt:8.3f} ms")
     return dt
 

@@ -33,12 +33,15 @@ class SetConv(nn.Module):
     radius: float
     nsample: int
     mlp: Sequence[int]
+    # interleaved-parallel FPS on TPU: near-FPS uniformity, ~19x faster
+    # at 16k->1024 (latency-bound sequential loop).  True = exact greedy.
+    fps_exact: bool = False
 
     @nn.compact
     def __call__(self, xyz, feats, *, train: bool = False, momentum=0.1):
         """xyz ``[B,N,3]``, feats ``[B,N,D]`` -> (new_xyz ``[B,S,3]``,
         new_feats ``[B,S,C']``)."""
-        new_xyz = ops.fps_points(xyz, self.npoint)
+        new_xyz = ops.fps_points(xyz, self.npoint, exact=self.fps_exact)
         idx = ops.ball_query(self.radius, self.nsample, xyz, new_xyz)
         g_xyz = ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
         g_feat = ops.index_points(feats, idx)

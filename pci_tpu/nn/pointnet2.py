@@ -28,12 +28,13 @@ class SetAbstractionMsg(nn.Module):
     radius_list: Sequence[float]
     nsample_list: Sequence[int]
     mlp_list: Sequence[Sequence[int]]
+    fps_exact: bool = False  # see SetConv.fps_exact
 
     @nn.compact
     def __call__(self, xyz, feats, *, train=False, momentum=0.1):
         """xyz ``[B,N,3]``, feats ``[B,N,D]`` or None ->
         (new_xyz ``[B,S,3]``, new_feats ``[B,S,sum(mlp[-1])]``)."""
-        new_xyz = ops.fps_points(xyz, self.npoint)
+        new_xyz = ops.fps_points(xyz, self.npoint, exact=self.fps_exact)
         outs = []
         for i, radius in enumerate(self.radius_list):
             K = self.nsample_list[i]

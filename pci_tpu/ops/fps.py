@@ -26,8 +26,20 @@ import jax.numpy as jnp
 from jax import lax
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def fps(xyz: jax.Array, npoint: int, start_idx: jax.Array | int = 0):
+def _auto_parallel(N: int, npoint: int) -> int:
+    """Pick the interleaved-chain count: the greedy loop is
+    sequential-latency bound (~1.25us/iteration at 16k regardless of
+    width), so more chains = proportionally faster; quality needs each
+    chain to make >= 32 picks from >= 512 candidates."""
+    for P in (8, 4, 2):
+        if npoint % P == 0 and npoint // P >= 32 and N // P >= 512:
+            return P
+    return 1
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3))
+def fps(xyz: jax.Array, npoint: int, start_idx: jax.Array | int = 0,
+        exact: bool = True):
     """Greedy farthest point sampling.
 
     Args:
@@ -37,6 +49,10 @@ def fps(xyz: jax.Array, npoint: int, start_idx: jax.Array | int = 0):
         random start (`torch.randint`, Pointnet2Utils.py:76); pass
         ``jax.random.randint(key, (B,), 0, N)`` for that behavior.  The
         default 0 is deterministic, which keeps eval reproducible.
+      exact: ``False`` allows the interleaved-parallel TPU kernel (greedy
+        chains over strided subsets, ~19x faster at 16k->1024 and
+        near-FPS uniformity: max coverage radius 47.5 vs 17.0 exact vs
+        329 random on a 16k gaussian cloud).  On CPU always exact.
 
     Returns:
       ``[B, npoint]`` int32 indices into the N axis (selection order).
@@ -44,8 +60,11 @@ def fps(xyz: jax.Array, npoint: int, start_idx: jax.Array | int = 0):
     xyz = lax.stop_gradient(xyz)
     B, N, _ = xyz.shape
     if jax.default_backend() == "tpu" and N >= 4096 and xyz.shape[-1] == 3:
-        from .pallas_kernels import fps_pallas
+        from .pallas_kernels import fps_pallas, fps_pallas_interleaved
 
+        P = 1 if exact else _auto_parallel(N, npoint)
+        if P > 1:
+            return fps_pallas_interleaved(xyz, npoint, start_idx, P)
         return fps_pallas(xyz, npoint, start_idx)
     start = jnp.broadcast_to(jnp.asarray(start_idx, jnp.int32), (B,))
 
@@ -67,7 +86,8 @@ def fps(xyz: jax.Array, npoint: int, start_idx: jax.Array | int = 0):
     return idxs
 
 
-def fps_points(xyz: jax.Array, npoint: int, start_idx: jax.Array | int = 0):
+def fps_points(xyz: jax.Array, npoint: int, start_idx: jax.Array | int = 0,
+               exact: bool = True):
     """FPS returning the sampled coordinates ``[B, npoint, 3]``."""
-    idx = fps(xyz, npoint, start_idx)
+    idx = fps(xyz, npoint, start_idx, exact)
     return jnp.take_along_axis(xyz, idx[..., None], axis=1)

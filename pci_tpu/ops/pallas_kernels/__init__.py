@@ -5,7 +5,7 @@ VMEM so the full [N, M] distance matrix never touches HBM — the unfused
 XLA path is HBM-bound (~30ms for a 16k x 16k fp32 matrix on v5e).
 """
 
-from .fps_tpu import fps_pallas
+from .fps_tpu import fps_pallas, fps_pallas_interleaved
 from .knn_tpu import knn_pallas
 
-__all__ = ["fps_pallas", "knn_pallas"]
+__all__ = ["fps_pallas", "fps_pallas_interleaved", "knn_pallas"]

@@ -65,3 +65,26 @@ class TestFpsPallas:
         i_ref = np.asarray(fps_mod.fps(x, 64, 0))  # below pallas threshold
         i_pal = np.asarray(fps_pallas(x, 64, 0))
         np.testing.assert_array_equal(i_ref, i_pal)
+
+    def test_interleaved_valid_and_near_fps_coverage(self, rng):
+        from pci_tpu.ops.pallas_kernels import fps_pallas, fps_pallas_interleaved
+
+        N = 8192
+        x = jnp.asarray(rng.standard_normal((1, N, 3)).astype(np.float32) * 10)
+        idx = np.asarray(fps_pallas_interleaved(x, 512, 0, 8))[0]
+        assert idx.min() >= 0 and idx.max() < N
+        assert len(set(idx.tolist())) == 512  # distinct picks
+
+        def coverage(sel):
+            sam = x[0][jnp.asarray(sel)]
+            d = jnp.min(
+                jnp.sum((x[0][:, None, :] - sam[None, :, :]) ** 2, -1), axis=1
+            )
+            return float(jnp.max(d))
+
+        cov_exact = coverage(np.asarray(fps_pallas(x, 512, 0))[0])
+        cov_inter = coverage(idx)
+        cov_rand = coverage(np.random.default_rng(0).choice(N, 512, False))
+        # interleaved must be much closer to FPS than to random sampling
+        assert cov_inter < 4 * cov_exact
+        assert cov_inter < 0.5 * cov_rand
