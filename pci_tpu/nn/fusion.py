@@ -98,6 +98,80 @@ def _prefix_merge(a, b, split, axis):
     return jnp.where(jnp.broadcast_to(take_a, a.shape), a, b_shifted)
 
 
+# Adaptive-split alignment grain: N2 rounds to a multiple of _ALIGN so no
+# candidate bucket of the fused TPU kernel straddles the two segments.  A
+# <= _ALIGN/2-point shift of a RANDOM split (the reference samples the
+# subsets randomly anyway); applied on every backend so CPU tests see the
+# TPU semantics.
+_ALIGN = 16
+
+
+def _adaptive_budgets(N, k, t):
+    """(N1, N2, k1, k2) with N2 aligned; guarantees N_i >= _ALIGN whenever
+    k_i > 0 so budgeted slots always hold real neighbors."""
+    k2 = jnp.floor(k * t).astype(jnp.int32)
+    k1 = k - k2
+    N2 = (jnp.floor(N * t / _ALIGN + 0.5) * _ALIGN).astype(jnp.int32)
+    N2 = jnp.maximum(N2, _ALIGN * (k2 > 0))
+    N2 = jnp.minimum(N2, N - _ALIGN * (k1 > 0))
+    return N - N2, N2, k1, k2
+
+
+def _fused_kernel_ok(points, k):
+    return (
+        jax.default_backend() == "tpu"
+        and points.shape[-1] == 3
+        and points.shape[-2] >= 4096
+        and points.shape[-2] % _ALIGN == 0
+        and k <= 128
+    )
+
+
+def _multi_budgets(N, k, w_head):
+    """Per-cloud sample/neighbor budgets for F clouds (w_head ``[B,F-1]``,
+    the last cloud absorbs remainders): ``(n_all [B,F], k_all [B,F])``
+    with every n aligned to ``_ALIGN`` and the last cloud guaranteed
+    >= ``_ALIGN`` points.  A <= _ALIGN/2-point perturbation per cloud of
+    the reference's ``floor(N * w)`` budgets (Utils/Layers.py:309-318)."""
+    k_budget = jnp.floor(k * w_head).astype(jnp.int32)
+    k_last = k - jnp.sum(k_budget, axis=1, keepdims=True)
+    k_all = jnp.concatenate([k_budget, k_last], axis=1)
+    n_b = (jnp.floor(N * w_head / _ALIGN + 0.5) * _ALIGN).astype(jnp.int32)
+    n_b = jnp.maximum(n_b, _ALIGN * (k_budget > 0))
+    cum = jnp.minimum(jnp.cumsum(n_b, axis=1), N - _ALIGN)
+    n_b = jnp.diff(cum, axis=1, prepend=jnp.zeros_like(cum[:, :1]))
+    n_all = jnp.concatenate([n_b, N - cum[:, -1:]], axis=1)
+    return n_all, k_all
+
+
+def _composed_shuffle_merge(points_list, perms, n_all):
+    """Combined cloud = concat of each shuffled cloud's ``n_all[:, j]``
+    prefix, via ONE gather from the concatenation (no per-cloud
+    materialized shuffles + insert passes).
+
+    Returns ``(combined [B,N,3], gidx [B,N])`` — gidx indexes the
+    ``concat(points_list, axis=1)`` row space (owner * N + source row),
+    reusable to carry per-point features through the same merge."""
+    B, N, _ = points_list[0].shape
+    F = len(points_list)
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    cum = jnp.cumsum(n_all, axis=1)  # [B, F], last col == N
+    owner = jnp.sum(
+        (pos[:, :, None] >= cum[:, None, :-1]).astype(jnp.int32), axis=-1
+    )  # [B, N] in [0, F)
+    start = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cum[:, :-1]], axis=1)
+    local = pos - jnp.take_along_axis(start, owner, axis=1)
+    perm_flat = jnp.stack(perms, axis=1).reshape(B, F * N)  # [B, F*N]
+    src = jnp.take_along_axis(
+        perm_flat, owner * N + jnp.clip(local, 0, N - 1), axis=1
+    )
+    gidx = owner * N + src
+    combined = jnp.take_along_axis(
+        jnp.concatenate(points_list, axis=1), gidx[..., None], axis=1
+    )
+    return combined, gidx
+
+
 class PointsFusion(nn.Module):
     """Fuse two warped clouds into one, weighting 2*k adaptive neighbors
     with learned attention (Utils/Layers.py:195-283)."""
@@ -105,19 +179,9 @@ class PointsFusion(nn.Module):
     mlp: Sequence[int] = (64, 64, 128)
     sampling: str = "random"  # "random" | "fps"
 
-    @nn.compact
-    def __call__(self, points1, points2, k: int, t, *, train=False, momentum=0.1):
-        """points1/points2 ``[B,N,3]`` warped clouds, t ``[B]`` in (0,1).
-
-        Returns fused cloud ``[B,N,3]``.
-        """
+    def _orders(self, points1, points2, train=False):
+        """Per-cloud sampling orders ``[B, N]`` (random or FPS)."""
         B, N, _ = points1.shape
-        t = t.astype(jnp.float32)
-        N2 = jnp.floor(N * t).astype(jnp.int32)
-        N1 = N - N2
-        k2 = jnp.floor(k * t).astype(jnp.int32)
-        k1 = k - k2
-
         if self.sampling == "random":
             key = self.make_rng("sample")
             k_1, k_2 = jax.random.split(key)
@@ -127,27 +191,55 @@ class PointsFusion(nn.Module):
             perm2 = jax.vmap(lambda kk: jax.random.permutation(kk, N))(
                 jax.random.split(k_2, B)
             )
+            return perm1, perm2
+        if self.sampling == "fps":
+            from .layers import fps_start
+
+            return (
+                ops.fps(points1, N, fps_start(self, points1, train)),
+                ops.fps(points2, N, fps_start(self, points2, train)),
+            )
+        raise ValueError(f"unknown sampling {self.sampling!r}")
+
+    @nn.compact
+    def __call__(self, points1, points2, k: int, t, *, train=False, momentum=0.1):
+        """points1/points2 ``[B,N,3]`` warped clouds, t ``[B]`` in (0,1).
+
+        Returns fused cloud ``[B,N,3]``.
+        """
+        B, N, _ = points1.shape
+        t = t.astype(jnp.float32)
+        N1, N2, k1, k2 = _adaptive_budgets(N, k, t)
+        perm1, perm2 = self._orders(points1, points2, train)
+
+        # combined cloud = N1-prefix of shuffled cloud1 then N2-prefix of
+        # shuffled cloud2, via ONE composed gather from the concatenation
+        combined, _ = _composed_shuffle_merge(
+            [points1, points2], [perm1, perm2],
+            jnp.stack([N1, N2], axis=1),
+        )
+
+        if _fused_kernel_ok(points1, k):
+            # one fused kernel: shared distance tiles, k1/k2-adaptive
+            # extraction, pre-merged residual block (see fusion_knn_tpu)
+            from ..ops.pallas_kernels import knn_fusion_adaptive
+
+            resi = knn_fusion_adaptive(combined, N1, k1, k)
+        else:
             c1 = jnp.take_along_axis(points1, perm1[..., None], axis=1)
             c2 = jnp.take_along_axis(points2, perm2[..., None], axis=1)
-        elif self.sampling == "fps":
-            c1 = ops.fps_points(points1, N)
-            c2 = ops.fps_points(points2, N)
-        else:
-            raise ValueError(f"unknown sampling {self.sampling!r}")
+            f1, nn1 = _neighbor_features(combined, c1, k, jnp.maximum(N1, 1))
+            f2, nn2 = _neighbor_features(combined, c2, k, jnp.maximum(N2, 1))
+            nns = _prefix_merge(nn1, nn2, k1, axis=2)  # [B,N,k,3]
+            resi = nns - combined[:, :, None, :]
 
-        # combined cloud: N1 prefix points of c1, then N2 prefix points of c2
-        combined = _prefix_merge(c1, c2, N1, axis=1)
-
-        # adaptive kNN with prefix-valid pools; compact k1+k2 = k slots
-        feats1, nn1 = _neighbor_features(combined, c1, k, jnp.maximum(N1, 1))
-        feats2, nn2 = _neighbor_features(combined, c2, k, jnp.maximum(N2, 1))
-        feats = _prefix_merge(feats1, feats2, k1, axis=2)  # [B,N,k,4]
-        nns = _prefix_merge(nn1, nn2, k1, axis=2)  # [B,N,k,3]
-
+        dist = _safe_norm(resi)
+        feats = jnp.concatenate([resi, dist], axis=-1)  # [B,N,k,4]
         h = PointMLP(self.mlp, norm="batch")(feats, train=train, momentum=momentum)
         scores = jnp.max(h, axis=-1)  # channel max-pool -> [B,N,k]
         weights = jax.nn.softmax(scores, axis=-1)
-        fused = jnp.sum(weights[..., None] * nns, axis=2)  # [B,N,3]
+        # sum(w * nn) = combined + sum(w * resi): softmax weights sum to 1
+        fused = combined + jnp.sum(weights[..., None] * resi, axis=2)
         return fused
 
 
@@ -166,10 +258,7 @@ class PointsFusionWithFeatures(nn.Module):
         fused ``[B,N,3+C]``."""
         B, N, _ = points1.shape
         t = t.astype(jnp.float32)
-        N2 = jnp.floor(N * t).astype(jnp.int32)
-        N1 = N - N2
-        k2 = jnp.floor(k * t).astype(jnp.int32)
-        k1 = k - k2
+        N1, N2, k1, k2 = _adaptive_budgets(N, k, t)
 
         key = self.make_rng("sample")
         k_1, k_2 = jax.random.split(key)
@@ -179,28 +268,39 @@ class PointsFusionWithFeatures(nn.Module):
         perm2 = jax.vmap(lambda kk: jax.random.permutation(kk, N))(
             jax.random.split(k_2, B)
         )
-        c1 = jnp.take_along_axis(points1, perm1[..., None], axis=1)
-        c2 = jnp.take_along_axis(points2, perm2[..., None], axis=1)
-        combined = _prefix_merge(c1, c2, N1, axis=1)
+        combined, gidx = _composed_shuffle_merge(
+            [points1, points2], [perm1, perm2], jnp.stack([N1, N2], axis=1)
+        )
+        combined_feats = jnp.take_along_axis(
+            jnp.concatenate([feats1, feats2], axis=1), gidx[..., None], axis=1
+        )
 
-        def grouped(cloud, feat, valid):
-            d, idx = ops.knn_prefix(combined, cloud, k, valid)
-            nn_pts = ops.index_points(cloud, idx)
-            nn_feat = ops.index_points(feat, idx)
-            resi = nn_pts - combined[:, :, None, :]
-            dist = _safe_norm(resi)
-            return jnp.concatenate([resi, dist], -1), nn_pts, nn_feat
+        if _fused_kernel_ok(points1, k):
+            from ..ops.pallas_kernels import knn_fusion_adaptive
 
-        g1, nn1, nf1 = grouped(c1, feats1, jnp.maximum(N1, 1))
-        g2, nn2, nf2 = grouped(c2, feats2, jnp.maximum(N2, 1))
-        g = _prefix_merge(g1, g2, k1, axis=2)
-        nns = _prefix_merge(nn1, nn2, k1, axis=2)
-        nfs = _prefix_merge(nf1, nf2, k1, axis=2)
+            idx, resi = knn_fusion_adaptive(
+                combined, N1, k1, k, emit_idx=True
+            )
+            nfs = ops.index_points(combined_feats, idx)
+        else:
+            c1 = jnp.take_along_axis(points1, perm1[..., None], axis=1)
+            c2 = jnp.take_along_axis(points2, perm2[..., None], axis=1)
 
+            def grouped(cloud, feat, valid):
+                _, idx = ops.knn_prefix(combined, cloud, k, valid)
+                return ops.index_points(cloud, idx), ops.index_points(feat, idx)
+
+            nn1, nf1 = grouped(c1, feats1, jnp.maximum(N1, 1))
+            nn2, nf2 = grouped(c2, feats2, jnp.maximum(N2, 1))
+            nns = _prefix_merge(nn1, nn2, k1, axis=2)
+            nfs = _prefix_merge(nf1, nf2, k1, axis=2)
+            resi = nns - combined[:, :, None, :]
+
+        g = jnp.concatenate([resi, _safe_norm(resi)], -1)
         h = PointMLP(self.mlp, norm="batch")(g, train=train, momentum=momentum)
         scores = jnp.max(h, axis=-1)
         weights = jax.nn.softmax(scores, axis=-1)[..., None]
-        fused_xyz = jnp.sum(weights * nns, axis=2)
+        fused_xyz = combined + jnp.sum(weights * resi, axis=2)
         fused_feat = jnp.sum(weights * nfs, axis=2)
         return jnp.concatenate([fused_xyz, fused_feat], axis=-1)
 
@@ -223,63 +323,47 @@ class PointsFusionMulti(nn.Module):
         F = len(points_list)
         B, N, _ = points_list[0].shape
         w = weights.astype(jnp.float32)
-
-        n_budget = jnp.floor(N * w[:, : F - 1]).astype(jnp.int32)  # [B,F-1]
-        n_last = N - jnp.sum(n_budget, axis=1, keepdims=True)
-        n_all = jnp.concatenate([n_budget, n_last], axis=1)  # [B,F]
-        k_budget = jnp.floor(k * w[:, : F - 1]).astype(jnp.int32)
-        k_last = k - jnp.sum(k_budget, axis=1, keepdims=True)
-        k_all = jnp.concatenate([k_budget, k_last], axis=1)  # [B,F]
+        n_all, k_all = _multi_budgets(N, k, w[:, : F - 1])  # [B,F] each
 
         key = self.make_rng("sample")
         keys = jax.random.split(key, F)
-        shuffled = []
-        for j, pts in enumerate(points_list):
-            perm = jax.vmap(lambda kk: jax.random.permutation(kk, N))(
+        perms = [
+            jax.vmap(lambda kk: jax.random.permutation(kk, N))(
                 jax.random.split(keys[j], B)
             )
-            shuffled.append(jnp.take_along_axis(pts, perm[..., None], axis=1))
+            for j in range(F)
+        ]
+        combined, _ = _composed_shuffle_merge(points_list, perms, n_all)
 
-        # combined cloud: concat the per-cloud prefixes (cumulative merge)
-        combined = shuffled[-1]
-        taken = jnp.zeros((B,), jnp.int32)
-        for j in range(F - 1):
-            # place cloud j's n_all[:, j] prefix at offset `taken`
-            combined = _offset_insert(combined, shuffled[j], taken, n_all[:, j])
-            taken = taken + n_all[:, j]
-        # remaining tail slots come from the last cloud's prefix
-        combined = _offset_insert(
-            combined, shuffled[-1], taken, jnp.full((B,), N, jnp.int32) - taken
-        )
+        if _fused_kernel_ok(points_list[0], k):
+            # one fused kernel: shared distance tiles, F budgeted
+            # extraction phases, pre-compacted residual block
+            from ..ops.pallas_kernels import knn_fusion_multi
 
-        # per-cloud kNN into valid prefixes, then compact along slot axis
-        feats_parts, nn_parts = [], []
-        for j in range(F):
-            f, nn_pts = _neighbor_features(
-                combined, shuffled[j], k, jnp.maximum(n_all[:, j], 1)
+            resi = knn_fusion_multi(
+                combined, jnp.cumsum(n_all, axis=1), k_all, k
             )
-            feats_parts.append(f)
-            nn_parts.append(nn_pts)
-        feats = _budget_compact(feats_parts, k_all, k)
-        nns = _budget_compact(nn_parts, k_all, k)
+        else:
+            shuffled = [
+                jnp.take_along_axis(pts, perm[..., None], axis=1)
+                for pts, perm in zip(points_list, perms)
+            ]
+            # per-cloud kNN into valid prefixes, then compact along slots
+            nn_parts = []
+            for j in range(F):
+                _, nn_pts = _neighbor_features(
+                    combined, shuffled[j], k, jnp.maximum(n_all[:, j], 1)
+                )
+                nn_parts.append(nn_pts)
+            nns = _budget_compact(nn_parts, k_all, k)
+            resi = nns - combined[:, :, None, :]
 
+        feats = jnp.concatenate([resi, _safe_norm(resi)], axis=-1)
         h = PointMLP(self.mlp, norm="group_div")(feats, train=train, momentum=momentum)
         scores = jnp.max(h, axis=-1)
         weights_attn = jax.nn.softmax(scores, axis=-1)
-        return jnp.sum(weights_attn[..., None] * nns, axis=2)
-
-
-def _offset_insert(base, src, offset, count):
-    """Write ``src``'s per-batch prefix of length ``count`` into ``base``
-    starting at per-batch ``offset`` along axis 1 (static shapes)."""
-    B, N = base.shape[:2]
-    pos = jnp.arange(N, dtype=jnp.int32)[None, :]  # [1,N]
-    off = offset[:, None]
-    cnt = count[:, None]
-    in_range = (pos >= off) & (pos < off + cnt)
-    src_idx = jnp.clip(pos - off, 0, N - 1)
-    src_shifted = jnp.take_along_axis(src, src_idx[..., None], axis=1)
-    return jnp.where(in_range[..., None], src_shifted, base)
+        # sum(w * nn) = combined + sum(w * resi): softmax rows sum to 1
+        return combined + jnp.sum(weights_attn[..., None] * resi, axis=2)
 
 
 def _budget_compact(parts, budgets, k):

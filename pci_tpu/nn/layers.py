@@ -16,11 +16,22 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .. import ops
 from .mlp import PointMLP, dense
 from .norm import BatchNorm
+
+
+def fps_start(module: nn.Module, xyz, train: bool):
+    """Per-sample random FPS start index during training (reference
+    parity: Pointnet2Utils.py:76 uses ``torch.randint``); deterministic 0
+    at eval or when no ``sample`` rng stream is provided."""
+    if train and module.has_rng("sample"):
+        B, N, _ = xyz.shape
+        return jax.random.randint(module.make_rng("sample"), (B,), 0, N)
+    return 0
 
 
 class SetConv(nn.Module):
@@ -41,7 +52,9 @@ class SetConv(nn.Module):
     def __call__(self, xyz, feats, *, train: bool = False, momentum=0.1):
         """xyz ``[B,N,3]``, feats ``[B,N,D]`` -> (new_xyz ``[B,S,3]``,
         new_feats ``[B,S,C']``)."""
-        new_xyz = ops.fps_points(xyz, self.npoint, exact=self.fps_exact)
+        new_xyz = ops.fps_points(
+            xyz, self.npoint, fps_start(self, xyz, train), exact=self.fps_exact
+        )
         idx = ops.ball_query(self.radius, self.nsample, xyz, new_xyz)
         g_xyz = ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
         g_feat = ops.index_points(feats, idx)

@@ -17,6 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .. import ops
+from .layers import fps_start
 from .mlp import PointMLP, dense
 from .norm import group_norm
 
@@ -34,7 +35,9 @@ class SetAbstractionMsg(nn.Module):
     def __call__(self, xyz, feats, *, train=False, momentum=0.1):
         """xyz ``[B,N,3]``, feats ``[B,N,D]`` or None ->
         (new_xyz ``[B,S,3]``, new_feats ``[B,S,sum(mlp[-1])]``)."""
-        new_xyz = ops.fps_points(xyz, self.npoint, exact=self.fps_exact)
+        new_xyz = ops.fps_points(
+            xyz, self.npoint, fps_start(self, xyz, train), exact=self.fps_exact
+        )
         outs = []
         for i, radius in enumerate(self.radius_list):
             K = self.nsample_list[i]

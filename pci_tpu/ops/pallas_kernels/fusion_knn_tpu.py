@@ -1,0 +1,313 @@
+"""Fused adaptive two-segment self-kNN for the fusion head (Pallas TPU).
+
+The fusion head (reference /root/reference/Utils/Layers.py:246-271) queries
+the combined cloud against the two sampled subsets — which are exactly the
+two PREFIX SEGMENTS of the combined cloud itself (`new_points` is
+``cat(new_points1, new_points2)``) — takes k1 neighbors from subset 1 and
+``k2 = k - k1`` from subset 2, and concatenates the blocks along the
+neighbor axis.  This kernel produces that CONCATENATED block directly:
+
+  * each [TK, TQ] distance tile is computed ONCE for both segments;
+  * extraction runs k1 rounds on segment A's candidates, then k-k1 rounds
+    on segment B's, writing into output slots [0,k1) and [k1,k) — exactly
+    k rounds total (dynamic per-batch trip counts), not k per segment, and
+    no neighbor-merge pass is needed outside the kernel.
+
+Tricks over the generic kNN kernel (knn_tpu.py):
+
+* **Packed sort keys.**  Non-negative fp32 distances bitcast to int32 are
+  order-preserved, so stealing mantissa LSBs for an index gives argmin for
+  free: one ``min`` returns winner distance AND position, with exact
+  first-match tie-breaking (duplicate points tie-break by index instead of
+  corrupting a one-hot sum).  The bucket phase steals ``log2(l)`` bits for
+  the in-bucket argmin; extraction steals ``log2(nb)`` bits for the
+  candidate row.  Ranking is quantized to ~2^-13 relative (the masked
+  LSBs), which can only reorder neighbors whose distances differ by
+  <0.02%; output residuals/distances are exact fp32.
+
+* **In-kernel neighbor coordinates.**  The bucket phase tracks the
+  argmin's xyz alongside its packed key, and extraction emits per-neighbor
+  RESIDUALS (neighbor - query) directly — a [B,N,k]<-[B,N,3] row gather
+  outside the kernel costs ~1.3 ms at 16k (measured).
+
+Outputs are opt-in (``emit_d``/``emit_idx``): the attention-fusion path
+only consumes residuals (it recomputes |resi| with a safe norm and forms
+the fused cloud as ``combined + sum(w * resi)``).
+
+Constraints: ``split`` must be a multiple of the bucket length ``l`` so no
+bucket straddles the segments (the fusion head aligns N2 to l; a <=l/2
+perturbation of a random split).  N padded to TK, queries padded to TQ.
+
+``knn_fusion_multi`` generalizes to F prefix segments with per-segment
+neighbor budgets — the multi-cloud fusion head (PointsFusion2,
+/root/reference/Utils/Layers.py:286-381): extraction runs F phases with
+dynamic trip counts, still exactly k rounds total, emitting the
+budget-compacted neighbor block in segment order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TQ = 512
+TK = 2048
+
+_BIG = 1e30
+_IMAX = jnp.iinfo(jnp.int32).max
+
+
+def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
+                       emit_idx):
+    """Grid: (B, S // TQ).
+
+    q_ref [1, 3, TQ] query tile; p_ref [1, 3, N] whole combined cloud.
+    scal_ref: per batch ``2 * nseg`` scalars — segment END offsets
+    (cumulative, multiples of l; last == n_real) then per-segment
+    budgets (sum == k).
+    refs: ([od [1,TQ,k]]? [oi [1,TQ,k]]? orr [1,3,TQ,k]), then scratch:
+    cand_k packed keys, [cand_i]? global indices, cand_{x,y,z} argmin
+    coords — all [N // l, TQ].
+    """
+    n_out = 1 + int(emit_d) + int(emit_idx)
+    outs, rest = refs[:n_out], refs[n_out:]
+    if emit_idx:
+        cand_k, cand_i, cand_x, cand_y, cand_z = rest
+    else:
+        cand_k, cand_x, cand_y, cand_z = rest
+        cand_i = None
+
+    nb_total = n // l
+    nb_tile = TK // l
+    b = pl.program_id(0)
+    base_s = b * 2 * nseg
+    n_real = scal_ref[base_s + nseg - 1]  # last segment end
+
+    def key_tile(j, _):
+        # fori_loop (not unrolled): Mosaic must reuse the [TK, TQ] buffers
+        p = jnp.transpose(p_ref[0, :, pl.ds(j * TK, TK)])  # [TK, 3]
+        d = jnp.zeros((TK, TQ), jnp.float32)
+        for c in range(3):
+            diff = p[:, c][:, None] - q_ref[0, c, :][None, :]
+            d = d + diff * diff
+        # mask the padded tail (>= n_real); segment masking happens at
+        # extraction (bucket rows never straddle: split % l == 0)
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (TK, TQ), 0) + j * TK
+        d = jnp.where(gidx < n_real, d, _BIG)
+
+        # packed bucket argmin: steal log2(l) LSBs for the local index
+        bits = jax.lax.bitcast_convert_type(d, jnp.int32)  # d >= 0
+        loc = jax.lax.broadcasted_iota(jnp.int32, (nb_tile, l, TQ), 1)
+        keys = (bits.reshape(nb_tile, l, TQ) & ~(l - 1)) | loc
+        bmin = jnp.min(keys, axis=1)  # [nb_tile, TQ]: dist + local argmin
+        local = bmin & (l - 1)
+        oh = loc == local[:, None, :]  # exact one-hot (index tie-break)
+        p3 = p.reshape(nb_tile, l, 3)
+        cx = jnp.sum(jnp.where(oh, p3[:, :, 0][..., None], 0.0), axis=1)
+        cy = jnp.sum(jnp.where(oh, p3[:, :, 1][..., None], 0.0), axis=1)
+        cz = jnp.sum(jnp.where(oh, p3[:, :, 2][..., None], 0.0), axis=1)
+        sl = pl.ds(j * nb_tile, nb_tile)
+        cand_k[sl, :] = bmin
+        if emit_idx:
+            base = (
+                jax.lax.broadcasted_iota(jnp.int32, (nb_tile, TQ), 0) * l
+                + j * TK
+            )
+            cand_i[sl, :] = base + local
+        cand_x[sl, :] = cx
+        cand_y[sl, :] = cy
+        cand_z[sl, :] = cz
+        return 0
+
+    lax.fori_loop(0, n // TK, key_tile, 0)
+
+    # extraction: pack the candidate-row id into the low bits (the local
+    # argmin bits are no longer needed — cand_i holds the global index)
+    row = jax.lax.broadcasted_iota(jnp.int32, (nb_total, TQ), 0)
+    rbits = max((nb_total - 1).bit_length(), 1)
+    ck = (cand_k[...] & ~((1 << rbits) - 1)) | row
+    cx = cand_x[...]
+    cy = cand_y[...]
+    cz = cand_z[...]
+    qx = q_ref[0, 0, :]
+    qy = q_ref[0, 1, :]
+    qz = q_ref[0, 2, :]
+
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (TQ, k), 1)
+    zf = jnp.zeros((TQ, k), jnp.float32)
+    zi = jnp.zeros((TQ, k), jnp.int32)
+
+    def extract(jj, carry):
+        keys, od_a, oi_a, rx_a, ry_a, rz_a = carry
+        m = jnp.min(keys, axis=0)  # [TQ] winner (unique: row in LSBs)
+        sel = keys == m[None, :]
+        x = jnp.sum(jnp.where(sel, cx, 0.0), axis=0)
+        y = jnp.sum(jnp.where(sel, cy, 0.0), axis=0)
+        z = jnp.sum(jnp.where(sel, cz, 0.0), axis=0)
+        rx = x - qx
+        ry = y - qy
+        rz = z - qz
+        upd = kiota == jj  # [TQ, k] slot-jj mask
+        if emit_d:
+            od_a = jnp.where(upd, (rx * rx + ry * ry + rz * rz)[:, None], od_a)
+        if emit_idx:
+            i = jnp.sum(jnp.where(sel, cand_i[...], 0), axis=0)
+            oi_a = jnp.where(upd, i[:, None], oi_a)
+        rx_a = jnp.where(upd, rx[:, None], rx_a)
+        ry_a = jnp.where(upd, ry[:, None], ry_a)
+        rz_a = jnp.where(upd, rz[:, None], rz_a)
+        keys = jnp.where(sel, _IMAX, keys)
+        return keys, od_a, oi_a, rx_a, ry_a, rz_a
+
+    # F extraction phases: segment j gets budget_j rounds on its own row
+    # range, writing output slots [kcum_j, kcum_{j+1}) — dynamic trip
+    # counts, exactly k rounds TOTAL across all phases, block pre-merged
+    carry = (zf, zi, zf, zf, zf)
+    row_lo = jnp.int32(0)
+    kcum = jnp.int32(0)
+    for j in range(nseg):
+        row_hi = scal_ref[base_s + j] // l
+        budget = scal_ref[base_s + nseg + j]
+        keys_j = jnp.where((row >= row_lo) & (row < row_hi), ck, _IMAX)
+        _, *carry = lax.fori_loop(
+            kcum, kcum + budget, extract, (keys_j, *carry)
+        )
+        row_lo = row_hi
+        kcum = kcum + budget
+    od_a, oi_a, rx_a, ry_a, rz_a = carry
+
+    it = iter(outs)
+    if emit_d:
+        next(it)[0] = od_a
+    if emit_idx:
+        next(it)[0] = oi_a
+    orr = next(it)
+    orr[0, 0] = rx_a
+    orr[0, 1] = ry_a
+    orr[0, 2] = rz_a
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def knn_fusion_multi(combined: jax.Array, seg_ends: jax.Array,
+                     budgets: jax.Array, k: int, bucket: int = 16,
+                     emit_d: bool = False, emit_idx: bool = False):
+    """Budgeted self-kNN of ``combined`` into its F prefix segments.
+
+    For each query point, returns its ``budgets[j]`` nearest neighbors
+    among rows [seg_ends[j-1], seg_ends[j]) for every segment j, blocks
+    concatenated in segment order — the multi-cloud fusion head's
+    budget-compacted kNN block (/root/reference/Utils/Layers.py:286-381)
+    in the reference's order, with no compaction pass needed outside.
+
+    Args:
+      combined: ``[B, N, 3]``.
+      seg_ends: ``[B, F]`` int32 cumulative segment ends, each a multiple
+        of ``bucket``, last column == N.
+      budgets: ``[B, F]`` int32 per-segment neighbor budgets, rows
+        summing to ``k``.
+      k: total neighbor count (static).
+      bucket: power-of-two bucket length (approximation grain, like
+        ``lax.approx_min_k``; per-segment recall
+        ~``1 - (k_seg - 1) * l / (2 * N_seg)``; nearest-in-segment exact).
+      emit_d / emit_idx: also emit sq-dists / global indices into
+        ``combined``.
+
+    Returns:
+      ``([d [B,N,k]]? [idx [B,N,k]]? resi [B,N,k,3])`` — residual
+      ``neighbor - query`` exact fp32.  If a segment holds fewer points
+      than its budget, its surplus slots carry the padded sentinel (huge
+      residuals); callers consume at most ``min(budget, segment size)``.
+    """
+    combined = lax.stop_gradient(combined)
+    B, N, C = combined.shape
+    F = seg_ends.shape[1]
+    assert C == 3
+    l = bucket
+    assert l & (l - 1) == 0, "bucket must be a power of two"
+
+    s_pad = (-N) % TQ
+    n_pad = (-N) % TK
+    pts = combined
+    if n_pad:
+        pts = jnp.pad(pts, ((0, 0), (0, n_pad), (0, 0)), constant_values=1e15)
+    Np = N + n_pad
+    q = combined
+    if s_pad:
+        q = jnp.pad(q, ((0, 0), (0, s_pad), (0, 0)))
+    Sp = N + s_pad
+
+    p_t = jnp.swapaxes(pts, 1, 2)  # [B, 3, Np]
+    q_t = jnp.swapaxes(q, 1, 2)  # [B, 3, Sp]
+
+    scal = jnp.concatenate(
+        [seg_ends.astype(jnp.int32), budgets.astype(jnp.int32)], axis=1
+    ).reshape(-1)  # [B * 2F]: F ends then F budgets per batch
+
+    out_specs, out_shapes = [], []
+    if emit_d:
+        out_specs.append(pl.BlockSpec((1, TQ, k), lambda b, i, s: (b, i, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, Sp, k), jnp.float32))
+    if emit_idx:
+        out_specs.append(pl.BlockSpec((1, TQ, k), lambda b, i, s: (b, i, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, Sp, k), jnp.int32))
+    out_specs.append(pl.BlockSpec((1, 3, TQ, k), lambda b, i, s: (b, 0, i, 0)))
+    out_shapes.append(jax.ShapeDtypeStruct((B, 3, Sp, k), jnp.float32))
+
+    scratch = [pltpu.VMEM((Np // l, TQ), jnp.int32)]
+    if emit_idx:
+        scratch.append(pltpu.VMEM((Np // l, TQ), jnp.int32))
+    scratch += [pltpu.VMEM((Np // l, TQ), jnp.float32)] * 3
+
+    kernel = functools.partial(
+        _fusion_knn_kernel, k=k, n=Np, l=l, nseg=F, emit_d=emit_d,
+        emit_idx=emit_idx,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Sp // TQ),
+        in_specs=[
+            pl.BlockSpec((1, 3, TQ), lambda b, i, s: (b, 0, i)),
+            pl.BlockSpec((1, 3, Np), lambda b, i, s: (b, 0, 0)),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shapes,
+        # default scoped-VMEM budget is 16MB; candidate scratch + the
+        # [TK, TQ] distance tiles need ~2x that at 16k points
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(scal, q_t, p_t)
+
+    result = []
+    it = iter(outs)
+    if emit_d:
+        result.append(next(it)[:, :N])
+    if emit_idx:
+        result.append(next(it)[:, :N])
+    r = next(it)
+    result.append(jnp.transpose(r[:, :, :N], (0, 2, 3, 1)))  # [B, N, k, 3]
+    return tuple(result) if len(result) > 1 else result[0]
+
+
+def knn_fusion_adaptive(combined: jax.Array, split: jax.Array,
+                        k1: jax.Array, k: int, bucket: int = 16,
+                        emit_d: bool = False, emit_idx: bool = False):
+    """Two-segment special case: ``k1`` neighbors from rows [0, split)
+    then ``k - k1`` from [split, N) (the PointsFusion adaptive head,
+    /root/reference/Utils/Layers.py:260-270).  See knn_fusion_multi."""
+    B, N, _ = combined.shape
+    k1 = jnp.clip(k1.astype(jnp.int32), 0, k)
+    seg_ends = jnp.stack(
+        [split.astype(jnp.int32), jnp.full_like(split, N)], axis=1
+    )
+    budgets = jnp.stack([k1, k - k1], axis=1)
+    return knn_fusion_multi(combined, seg_ends, budgets, k, bucket,
+                            emit_d, emit_idx)

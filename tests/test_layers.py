@@ -71,6 +71,34 @@ class TestSetConv:
         assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
 
 
+    def test_random_fps_start_train_only(self, rng):
+        """Reference parity (Pointnet2Utils.py:76): training samples a
+        random FPS start per call; eval stays deterministic."""
+        sc = pnn.SetConv(16, 0.8, 8, (16, 32))
+        xyz = cloud(rng, 2, 64)
+        feats = cloud(rng, 2, 64, 3)
+        vars_ = sc.init(jax.random.key(0), xyz, feats, train=True)
+
+        def run(train, key=None):
+            rngs = {"sample": key} if key is not None else {}
+            (nxyz, _), _ = sc.apply(
+                vars_, xyz, feats, train=train, mutable=["batch_stats"],
+                rngs=rngs,
+            )
+            return np.asarray(nxyz)
+
+        a = run(True, jax.random.key(1))
+        b = run(True, jax.random.key(2))
+        assert not np.allclose(a, b)  # different starts -> different sets
+        e1 = run(False)
+        e2 = run(False)
+        np.testing.assert_array_equal(e1, e2)
+        # without a sample rng, train is still deterministic (start 0)
+        t1 = run(True)
+        t2 = run(True)
+        np.testing.assert_array_equal(t1, t2)
+
+
 class TestFlowEmbedding:
     def test_shapes(self, rng):
         fe = pnn.FlowEmbedding(8, (16, 16))
@@ -148,6 +176,53 @@ class TestFusion:
             vars_, clouds_, 6, w, train=False, rngs={"sample": jax.random.key(2)}
         )
         assert out.shape == (2, 32, 3)
+
+
+class TestFusionHelpers:
+    def test_multi_budgets_invariants(self):
+        from pci_tpu.nn.fusion import _ALIGN, _multi_budgets
+
+        rngl = np.random.default_rng(0)
+        N, k = 4096, 32
+        for _ in range(20):
+            w = rngl.dirichlet(np.ones(4), size=2).astype(np.float32)
+            n_all, k_all = _multi_budgets(N, k, jnp.asarray(w[:, :3]))
+            n_all, k_all = np.asarray(n_all), np.asarray(k_all)
+            assert (n_all.sum(1) == N).all()
+            assert (k_all.sum(1) == k).all()
+            assert (n_all >= 0).all() and (k_all >= 0).all()
+            assert (n_all % _ALIGN == 0).all()  # bucket-aligned segments
+            assert (n_all[:, -1] >= _ALIGN).all()
+            # budgeted clouds hold points
+            assert (n_all[(k_all > 0)] > 0).all()
+
+    def test_composed_shuffle_merge_oracle(self):
+        from pci_tpu.nn.fusion import _composed_shuffle_merge
+
+        rngl = np.random.default_rng(1)
+        B, N, F = 2, 64, 3
+        pts = [jnp.asarray(rngl.standard_normal((B, N, 3)).astype(np.float32))
+               for _ in range(F)]
+        perms = [jnp.asarray(np.stack([rngl.permutation(N) for _ in range(B)]).astype(np.int32))
+                 for _ in range(F)]
+        n_all = jnp.asarray([[16, 32, 16], [48, 0, 16]], jnp.int32)
+        combined, gidx = _composed_shuffle_merge(pts, perms, n_all)
+        combined = np.asarray(combined)
+        for b in range(B):
+            want = np.concatenate(
+                [
+                    np.asarray(pts[j])[b][np.asarray(perms[j])[b][: int(n_all[b, j])]]
+                    for j in range(F)
+                ],
+                axis=0,
+            )
+            np.testing.assert_array_equal(combined[b], want)
+        # gidx carries features through the same merge
+        cat = np.concatenate([np.asarray(p) for p in pts], axis=1)
+        np.testing.assert_array_equal(
+            np.take_along_axis(cat, np.asarray(gidx)[..., None], axis=1),
+            combined,
+        )
 
 
 class TestTransformer:

@@ -54,6 +54,45 @@ class TestKnnPallas:
 
 
 @requires_tpu
+class TestFusionKnnPallas:
+    def test_adaptive_segments_vs_oracle(self, rng):
+        from pci_tpu.ops.pallas_kernels import knn_fusion_adaptive
+
+        B, N, k = 2, 4096, 32
+        pts = rng.standard_normal((B, N, 3)).astype(np.float32) * 5
+        split = np.array([2048, 1024], np.int32)  # multiples of bucket 16
+        k1 = np.array([20, 9], np.int32)
+        idx, resi = knn_fusion_adaptive(
+            jnp.asarray(pts), jnp.asarray(split), jnp.asarray(k1), k,
+            emit_idx=True,
+        )
+        idx, resi = np.asarray(idx), np.asarray(resi)
+
+        for b in range(B):
+            s, ka = int(split[b]), int(k1[b])
+            d = ((pts[b][:, None, :] - pts[b][None, :, :]) ** 2).sum(-1)
+            ia = np.argsort(d[:, :s], axis=1, kind="stable")
+            ib = np.argsort(d[:, s:], axis=1, kind="stable") + s
+            # residuals match the emitted indices exactly (fp32)
+            np.testing.assert_allclose(
+                resi[b], pts[b][idx[b]] - pts[b][:, None, :], atol=1e-5
+            )
+            # segment membership honored
+            assert (idx[b, :, :ka] < s).all()
+            assert (idx[b, :, ka:] >= s).all()
+            # nearest-in-segment exact; whole-block recall high
+            assert (idx[b, :, 0] == ia[:, 0]).all()
+            assert (idx[b, :, ka] == ib[:, 0]).all()
+            rec = np.mean(
+                [
+                    len(set(idx[b, i, :ka]) & set(ia[i, :ka])) / max(ka, 1)
+                    for i in range(N)
+                ]
+            )
+            assert rec > 0.93
+
+
+@requires_tpu
 class TestFpsPallas:
     def test_matches_fori_loop(self, rng):
         import importlib
