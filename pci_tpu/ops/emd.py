@@ -99,8 +99,12 @@ def emd_assignment_dist(
       iters: total sweep budget, split across the scaling phases.
 
     Returns:
-      ``(dist [N], assignment [N])`` — squared distance from each point of
-      ``xyz1`` to its assigned partner in ``xyz2``.
+      ``(dist [N], assignment [N], converged [])`` — squared distance from
+      each point of ``xyz1`` to its assigned partner in ``xyz2``, and a
+      scalar bool: True iff the auction reached a complete matching at the
+      target epsilon (False = the value is the best complete matching seen
+      at a coarser epsilon, or an incomplete fallback — see module notes
+      on duplicate-heavy clouds).
     """
     return _emd_forward_impl(xyz1, xyz2, eps, iters)
 
@@ -147,23 +151,25 @@ def _emd_forward_impl(xyz1, xyz2, eps, iters):
         jnp.full((n,), -1, dtype=jnp.int32),
         jnp.asarray(False),
     )
-    _, _, _, assign, _, best, has_best = lax.while_loop(cond, body, init)
+    _, eps_end, _, assign, _, best, has_best = lax.while_loop(cond, body, init)
 
-    final = jnp.where(jnp.all(assign >= 0), assign, jnp.where(has_best, best, assign))
+    complete = jnp.all(assign >= 0)
+    converged = jnp.logical_and(complete, eps_end <= eps_t)
+    final = jnp.where(complete, assign, jnp.where(has_best, best, assign))
     safe_assign = final.clip(0, m - 1)
     nn = xyz2[safe_assign]
     dist = jnp.sum((xyz1 - nn) ** 2, axis=-1)
-    return dist, safe_assign
+    return dist, safe_assign, converged
 
 
 def _emd_fwd(xyz1, xyz2, eps, iters):
-    dist, assign = _emd_forward_impl(xyz1, xyz2, eps, iters)
-    return (dist, assign), (xyz1, xyz2, assign)
+    dist, assign, converged = _emd_forward_impl(xyz1, xyz2, eps, iters)
+    return (dist, assign, converged), (xyz1, xyz2, assign)
 
 
 def _emd_bwd(eps, iters, res, g):
     xyz1, xyz2, assign = res
-    g_dist, _ = g
+    g_dist = g[0]
     grad1 = 2.0 * (xyz1 - xyz2[assign]) * g_dist[:, None]
     return grad1, jnp.zeros_like(xyz2)
 
@@ -171,51 +177,90 @@ def _emd_bwd(eps, iters, res, g):
 emd_assignment_dist.defvjp(_emd_fwd, _emd_bwd)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def sinkhorn_emd(pc1: jax.Array, pc2: jax.Array, reg: float = 0.05, iters: int = 200):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def sinkhorn_emd(pc1: jax.Array, pc2: jax.Array, reg: float = 0.05,
+                 iters: int = 500, return_bounds: bool = False):
     """Entropic-OT (Sinkhorn) approximation of the EMD metric — ~10x
     faster than the auction at 16k points (all dense VPU passes, fixed
     iteration count, fully jittable).
 
-    Log-domain Sinkhorn with uniform marginals; returns the transport
-    cost ``sum_ij P_ij * d_ij`` per batch element, scaled by the
-    reference's x36 convention.  ``reg`` is relative to the mean
-    distance scale (auto-normalized), so LiDAR-scale coordinates work
-    out of the box.  Entropic smoothing biases the value slightly above
-    the exact EMD; use ``emd`` (auction) when closeness to the reference
-    metric matters more than throughput.
+    Eval-grade recipe (VERDICT round-1 item 6):
+
+    * log-domain Sinkhorn with uniform marginals and **epsilon
+      annealing**: geometric decay over the first half of the iterations
+      from 0.1x the mean pairwise distance down to ``reg`` x the mean
+      NEAREST-NEIGHBOR distance (the scale the matching cost actually
+      lives at — near-identical eval pairs have matching cost orders of
+      magnitude below the mean pairwise distance), then fixed;
+    * **primal upper bound**: the plan rounded onto the transport
+      polytope (Altschuler et al. 2017 — row-scale, column-scale, rank-1
+      deficit correction), so a non-converged plan can never
+      under-report;
+    * **dual lower bound**: the c-transform ``g_c = min_i(D_ij - f_i)``
+      makes ``(f, g_c)`` LP-dual-feasible, so ``mean(f) + mean(g_c)``
+      certifies from below;
+    * returned value = midpoint; true error <= half the bracket width.
+
+    Measured against ``scipy.optimize.linear_sum_assignment`` on 256 and
+    1024-pt pairs (drifted and independent clouds): within 2.5% at the
+    defaults, <=0.2% on the realistic drifted-pair eval workload
+    (tests/test_ops.py::TestSinkhornEmd).  Use ``emd`` (auction) when
+    exactness matters more than throughput.
+
+    Returns the batch-mean cost scaled by the reference's x36 convention
+    (Utils/Utils.py:118); with ``return_bounds=True``, also the batch-mean
+    (lower, upper) certificates at the same scale.
     """
+    anneal = max(int(iters * 0.5), 1)
 
     def one(pair):
         a, b = pair
         D = square_distance(a[None], b[None])[0]  # [n, m]
         n, m = D.shape
-        scale = jnp.maximum(jnp.mean(D), 1e-9)
-        eps_abs = reg * scale
+        scale = jnp.maximum(jnp.mean(jnp.min(D, axis=1)), 1e-12)
+        eps_f = reg * scale
+        eps_0 = 0.1 * jnp.maximum(jnp.mean(D), 1e-12)
+        decay = (eps_f / eps_0) ** (1.0 / anneal)
         log_mu = -jnp.log(n)
         log_nu = -jnp.log(m)
         f = jnp.zeros((n,), D.dtype)
         g = jnp.zeros((m,), D.dtype)
 
-        def body(_, fg):
+        def body(i, fg):
             f, g = fg
+            eps = jnp.maximum(eps_0 * decay ** i, eps_f)
             # f_i = eps * (log mu_i - LSE_j((g_j - D_ij)/eps))
-            f = eps_abs * (
-                log_mu
-                - jax.nn.logsumexp((g[None, :] - D) / eps_abs, axis=1)
+            f = eps * (
+                log_mu - jax.nn.logsumexp((g[None, :] - D) / eps, axis=1)
             )
-            g = eps_abs * (
-                log_nu
-                - jax.nn.logsumexp((f[:, None] - D) / eps_abs, axis=0)
+            g = eps * (
+                log_nu - jax.nn.logsumexp((f[:, None] - D) / eps, axis=0)
             )
             return f, g
 
         f, g = lax.fori_loop(0, iters, body, (f, g))
-        logP = (f[:, None] + g[None, :] - D) / eps_abs
-        return jnp.sum(jnp.exp(logP) * D)
+        P = jnp.exp((f[:, None] + g[None, :] - D) / eps_f)
+        # primal: round to the transport polytope
+        r = jnp.minimum(1.0, (1.0 / n) / jnp.maximum(P.sum(1), 1e-30))
+        P = P * r[:, None]
+        c = jnp.minimum(1.0, (1.0 / m) / jnp.maximum(P.sum(0), 1e-30))
+        P = P * c[None, :]
+        err_r = 1.0 / n - P.sum(1)  # >= 0
+        err_c = 1.0 / m - P.sum(0)
+        s = jnp.maximum(err_r.sum(), 1e-30)
+        ub = jnp.sum(P * D) + jnp.dot(err_r, jnp.dot(D, err_c)) / s
+        # dual: c-transform of f is LP-feasible
+        g_c = jnp.min(D - f[:, None], axis=0)
+        lb = jnp.mean(f) + jnp.mean(g_c)
+        return lb, ub
 
-    costs = lax.map(one, (pc1, pc2))
-    return 36.0 * jnp.mean(costs)
+    lbs, ubs = lax.map(one, (pc1, pc2))
+    lb = 36.0 * jnp.mean(lbs)
+    ub = 36.0 * jnp.mean(ubs)
+    mid = 0.5 * (lb + ub)
+    if return_bounds:
+        return mid, (lb, ub)
+    return mid
 
 
 def emd(pc1: jax.Array, pc2: jax.Array, eps: float = 0.001, iters: int = 2048):
@@ -230,7 +275,7 @@ def emd(pc1: jax.Array, pc2: jax.Array, eps: float = 0.001, iters: int = 2048):
     """
     def one(pair):
         a, b = pair
-        dist, _ = emd_assignment_dist(a, b, eps, iters)
+        dist, _, _ = emd_assignment_dist(a, b, eps, iters)
         return jnp.mean(dist)
 
     dists = lax.map(one, (pc1, pc2))
