@@ -16,7 +16,17 @@ import numpy as np
 
 
 def load_metrics(path: str):
+    """(t, cd) series from a metrics.jsonl or a wandb-style CSV export."""
     ts, cds = [], []
+    if path.endswith(".csv"):
+        import csv
+
+        with open(path) as f:
+            for rec in csv.DictReader(f):
+                if rec.get("cd") and rec.get("t"):
+                    ts.append(float(rec["t"]))
+                    cds.append(float(rec["cd"]))
+        return np.asarray(ts), np.asarray(cds)
     with open(path) as f:
         for line in f:
             rec = json.loads(line)

@@ -41,3 +41,33 @@ class MetricLogger:
         self._f.close()
         if self._wandb is not None:
             self._wandb.finish()
+
+
+def metrics_to_csv(jsonl_path: str, csv_path: str | None = None) -> str:
+    """Export a metrics.jsonl to a wandb-style CSV (one column per metric
+    key, union over all records; empty cells where a record lacks a key).
+
+    Lets the reference's wandb-CSV plotting workflow
+    (PolyPCI/Results/V1/draw_bar_chart.py:9-14) consume this framework's
+    logs.  Returns the path written.
+    """
+    import csv
+
+    records = []
+    keys: list[str] = []
+    with open(jsonl_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            records.append(rec)
+            for k in rec:
+                if k not in keys:
+                    keys.append(k)
+    csv_path = csv_path or os.path.splitext(jsonl_path)[0] + ".csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys, restval="")
+        w.writeheader()
+        w.writerows(records)
+    return csv_path

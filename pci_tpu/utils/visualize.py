@@ -25,17 +25,44 @@ class PcdsVisualizer:
         if_show: bool = False,
         view_point_json_file: str | None = None,
         point_size: float = 1.0,
+        if_down_sample: bool = False,
+        npoints: int = 12000,
     ):
         self.if_save = if_save
         self.if_show = if_show
         self.point_size = point_size
         self.view_point_json_file = view_point_json_file
+        self.if_down_sample = if_down_sample
+        self.npoints = npoints
         self.layers: list[tuple[np.ndarray, tuple]] = []
 
     def add_to_vis(self, points, color):
         """points: ``[N, 3]`` array (or anything np.asarray handles)."""
         pts = np.asarray(points, np.float32).reshape(-1, 3)
         self.layers.append((pts, tuple(color)))
+
+    def _read_bin(self, path, width, jitter):
+        """Load a KITTI-style ``.bin`` (fp32, ``width`` floats per point),
+        optional gaussian jitter, optional FPS downsample to ``npoints``
+        (reference Utils/Visualize.py:35-57)."""
+        pts = np.fromfile(path, np.float32).reshape(-1, width)[:, :3].copy()
+        if jitter:
+            pts += np.random.normal(-jitter, jitter, size=pts.shape).astype(
+                np.float32
+            )
+        if self.if_down_sample and len(pts) > self.npoints:
+            from ..data.native import fps_indices
+
+            pts = pts[fps_indices(pts, self.npoints)]
+        return pts
+
+    def read_bin_pc_fps_5(self, path, jitter=0):
+        """5-float/point scan (x y z intensity ring), like the raw inputs."""
+        return self._read_bin(path, 5, jitter)
+
+    def read_bin_pc_fps_3(self, path, jitter=0):
+        """3-float/point cloud, like saved interpolation results."""
+        return self._read_bin(path, 3, jitter)
 
     # the reference's converters accept torch tensors; here numpy/JAX both
     # work through np.asarray

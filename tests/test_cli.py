@@ -121,6 +121,53 @@ class TestVisualizationCli:
         vis.show_and_save(out)
         assert os.path.getsize(out) > 1000
 
+    def test_visualize_demo_file_composite(self, tmp_path):
+        """Composition variants of the reference's visualize_demo_file.py:
+        keys + GT + two result dirs layered onto one canvas."""
+        from pci_tpu.cli import visualize_demo_file
+
+        rng = np.random.default_rng(0)
+        inputs = tmp_path / "Inputs"
+        res_a = tmp_path / "result_field_2"
+        res_b = tmp_path / "result_pointinet"
+        for d in (inputs, res_a, res_b):
+            d.mkdir()
+        for name in ("key_1.bin", "key_2.bin"):
+            pts = rng.standard_normal((200, 5)).astype(np.float32)
+            pts.tofile(str(inputs / name))
+        for t in ("0.2", "0.4"):
+            rng.standard_normal((150, 5)).astype(np.float32).tofile(
+                str(inputs / f"gt_{t}.bin"))
+            for d in (res_a, res_b):
+                rng.standard_normal((150, 3)).astype(np.float32).tofile(
+                    str(d / f"result_{t}.bin"))
+
+        out = str(tmp_path / "composite.png")
+        visualize_demo_file.main([
+            "--inputs", str(inputs), "--gt", str(inputs),
+            "--results", str(res_a), "--results", str(res_b),
+            "--times", "0.2,0.4", "--gt_jitter", "0.03",
+            "--npoints", "100", "--out", out,
+        ])
+        assert os.path.getsize(out) > 1000
+
+    def test_metrics_csv_export_feeds_charts(self, tmp_path):
+        """metrics.jsonl -> wandb-style CSV -> draw_charts (VERDICT item 9)."""
+        from pci_tpu.cli import draw_charts
+        from pci_tpu.train.metrics import MetricLogger, metrics_to_csv
+
+        log = MetricLogger(str(tmp_path))
+        for i in range(12):
+            log.log({"cd": 0.5 + 0.01 * i, "t": (i % 4 + 1) / 5}, step=i)
+        log.log({"loss": 1.0}, step=99)  # heterogeneous keys
+        log.close()
+        csv_path = metrics_to_csv(str(tmp_path / "metrics.jsonl"))
+        head = open(csv_path).readline()
+        assert "cd" in head and "t" in head and "loss" in head
+        out = str(tmp_path / "chart.png")
+        draw_charts.main(["--metrics", csv_path, "--bins", "4", "--out", out])
+        assert os.path.getsize(out) > 1000
+
     def test_video_generate(self, tmp_path):
         from pci_tpu.utils import PcdsVisualizer
         from pci_tpu.utils.video import pngs_to_video
