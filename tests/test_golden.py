@@ -64,3 +64,37 @@ class TestGoldenWindow:
         for i in (1, 2, 3):
             assert os.path.exists(os.path.join(INPUTS, f"forward_{i}.bin"))
             assert os.path.exists(os.path.join(INPUTS, f"backward_{i}.bin"))
+
+
+GOLDEN_NPZ = os.path.join(os.path.dirname(__file__), "golden",
+                          "model_outputs.npz")
+
+
+class TestModelGolden:
+    """Fixed-seed fixed-weights forward outputs pinned for every model
+    family (VERDICT round-1 item 4): a silent numeric regression breaks
+    here instead of shipping.  Regenerate deliberately with
+    ``python -m tests.gen_golden`` and commit the diff."""
+
+    @pytest.fixture(scope="class")
+    def outputs(self):
+        from tests.golden_cases import model_outputs
+
+        return model_outputs()
+
+    @pytest.fixture(scope="class")
+    def golden(self):
+        assert os.path.exists(GOLDEN_NPZ), (
+            "golden fixture missing — run python -m tests.gen_golden"
+        )
+        return np.load(GOLDEN_NPZ)
+
+    @pytest.mark.parametrize(
+        "name",
+        ["flownet3d", "pointinet", "isapci_f1", "isapci_asym",
+         "pointinet2", "polypci"],
+    )
+    def test_forward_matches_golden(self, outputs, golden, name):
+        got, want = outputs[name], golden[name]
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
