@@ -117,12 +117,21 @@ def main(argv=None):
 
     for epoch in range(args.epochs):
         momentum = jnp.asarray(float(mom_sched(epoch)))
-        total, count = 0.0, 0
+        # device-side accumulation: sync (float()) only every log_every
+        # steps so the async dispatch pipeline never stalls (VERDICT #8)
+        total, count, pending = 0.0, 0, []
         for batch in loader:
             batch = batch_to_device(batch)
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, batch, sub, momentum)
-            loss = float(metrics["loss"])
+            pending.append(metrics["loss"])
+            if len(pending) >= args.log_every:
+                for loss in map(float, pending):
+                    logger.log({"train_loss": loss})
+                    total += loss
+                    count += 1
+                pending = []
+        for loss in map(float, pending):
             logger.log({"train_loss": loss})
             total += loss
             count += 1

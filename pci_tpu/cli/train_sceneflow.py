@@ -109,11 +109,19 @@ def main(argv=None):
 
     for epoch in range(args.epochs):
         momentum = jnp.asarray(float(mom_sched(epoch)))
-        total, count = 0.0, 0
+        # sync every log_every steps, not per step (VERDICT #8)
+        total, count, pending = 0.0, 0, []
         for batch in loader:
             batch = batch_to_device(batch)
             state, metrics = step_fn(state, batch, momentum)
-            loss = float(metrics["loss"])
+            pending.append(metrics["loss"])
+            if len(pending) >= args.log_every:
+                for loss in map(float, pending):
+                    logger.log({"train_loss": loss})
+                    total += loss
+                    count += 1
+                pending = []
+        for loss in map(float, pending):
             logger.log({"train_loss": loss})
             total += loss
             count += 1

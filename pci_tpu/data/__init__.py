@@ -21,6 +21,7 @@ from .lidar import (
     subsample,
 )
 from .pipeline import Loader, collate, device_put_batches
+from .synth import generate_flow_pairs, generate_scenes
 
 __all__ = [
     "Flythings3D",
@@ -42,4 +43,6 @@ __all__ = [
     "Loader",
     "collate",
     "device_put_batches",
+    "generate_flow_pairs",
+    "generate_scenes",
 ]
