@@ -16,7 +16,7 @@ from .. import ops
 from ..data import KittiInterpolationDataset, Loader, NuscenesTripletDataset
 from ..models import PointINet
 from ..train import MetricLogger, load_flow_into, load_params
-from .common import batch_to_device
+from .common import batch_to_device, jit_init
 
 
 def parse_args(argv=None):
@@ -55,8 +55,8 @@ def main(argv=None):
     model = PointINet(freeze_flow=True)
     sample = batch_to_device({k: v[None] for k, v in dataset[0].items()})
     rngs = {"params": jax.random.key(args.seed), "sample": jax.random.key(args.seed + 1)}
-    variables = model.init(
-        rngs, sample["ini_pc"], sample["end_pc"],
+    variables = jit_init(
+        model, rngs, sample["ini_pc"], sample["end_pc"],
         sample["color"], sample["color"], sample["t"], train=False,
     )
     # the reference composes two checkpoints at load (test.py:42-43)

@@ -26,7 +26,7 @@ from ..train import (
     load_flow_into,
     make_optimizer,
 )
-from .common import add_common_train_flags, batch_to_device
+from .common import add_common_train_flags, batch_to_device, jit_init
 
 
 def parse_args(argv=None):
@@ -90,8 +90,8 @@ def main(argv=None):
     model = PointINet(freeze_flow=bool(args.freeze))
     sample = batch_to_device({k: v[None] for k, v in dataset[0].items()})
     rngs = {"params": jax.random.key(args.seed), "sample": jax.random.key(args.seed + 1)}
-    variables = model.init(
-        rngs, sample["ini_pc"], sample["end_pc"],
+    variables = jit_init(
+        model, rngs, sample["ini_pc"], sample["end_pc"],
         sample["color"], sample["color"], sample["t"], train=False,
     )
     if args.pretrained_flow_model:

@@ -21,7 +21,7 @@ from .. import ops
 from ..data import Loader, PolyPCIDataset
 from ..models import PolyPCI
 from ..train import MetricLogger, load_flow_into
-from .common import batch_to_device
+from .common import batch_to_device, jit_init
 
 
 def parse_args(argv=None):
@@ -54,8 +54,8 @@ def main(argv=None):
     from ..data import collate
 
     sample = batch_to_device(collate([dataset[0]]))
-    variables = model.init(
-        jax.random.key(args.seed),
+    variables = jit_init(
+        model, jax.random.key(args.seed),
         sample["forward"], sample["key"], sample["backward"],
         sample["t"], sample["T"], sample["ini"], train=False,
     )

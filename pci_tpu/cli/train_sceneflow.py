@@ -36,7 +36,7 @@ from ..train import (
     make_optimizer,
     make_sceneflow_train_step,
 )
-from .common import add_common_train_flags, batch_to_device
+from .common import add_common_train_flags, batch_to_device, jit_init
 
 
 def parse_args(argv=None):
@@ -80,8 +80,8 @@ def main(argv=None):
     sample = batch_to_device(
         {k: v[None] for k, v in dataset[0].items()}
     )
-    variables = model.init(
-        jax.random.key(args.seed),
+    variables = jit_init(
+        model, jax.random.key(args.seed),
         sample["points1"], sample["points2"], sample["feats1"], sample["feats2"],
         train=True,
     )
