@@ -12,9 +12,13 @@ materializes in HBM.  The algorithm is the hardware TopK recipe:
      at 64k x 64k regardless of precision, measured); the VPU form is
      ~4x faster and exact fp32 (no bf16 cancellation),
   3. each length-``L`` key bucket reduces to its min (+ local argmin)
-     into a VMEM candidate buffer,
-  4. exact-select the k smallest among the ``N/L`` bucket minima
-     (k masked min-extraction passes).
+     into a VMEM candidate buffer — one reduction via packed sort keys
+     (index bits stolen from the fp32 mantissa LSBs),
+  4. select the k smallest among the ``N/L`` bucket minima (k packed
+     min-extraction passes; ranking quantized to the stolen bits,
+     ~2^-13 relative at 16k — can only swap near-exact ties.  Emitted
+     distances carry the same quantization; consumers needing exact
+     values (chamfer, 3-NN weights) recompute from the indices).
 
 Layout: keys on the major (sublane) axis, queries on lanes — Mosaic can
 split a major axis in a reshape but not the 128-lane minor axis, and all
@@ -87,32 +91,41 @@ def _knn_kernel(valid_ref, qt_ref, p_ref, out_d_ref, out_i_ref,
             gidx = jax.lax.broadcasted_iota(jnp.int32, (TK, TQ), 0) + j * TK
             d = jnp.where(gidx < valid_n, d, _BIG)
 
-        # bucket reduce over keys: [TK, TQ] -> [TK//l, TQ]
-        d3 = d.reshape(nb_tile, l, TQ)
-        bmin = jnp.min(d3, axis=1)
-        # first-match local argmin via iota compare
-        iota3 = jax.lax.broadcasted_iota(jnp.int32, (nb_tile, l, TQ), 1)
-        is_min = d3 == bmin[:, None, :]
-        barg = jnp.min(jnp.where(is_min, iota3, l), axis=1)  # [nb_tile, TQ]
+        # bucket reduce over keys via PACKED SORT KEYS: non-negative fp32
+        # bitcast to int32 is order-preserved, so stealing the log2(l)
+        # mantissa LSBs for the in-bucket index folds min and argmin into
+        # ONE reduction (the unpacked form needed two more [TK, TQ]
+        # passes: an equality compare and a masked iota-min).
+        bits = jax.lax.bitcast_convert_type(d, jnp.int32)
+        loc = jax.lax.broadcasted_iota(jnp.int32, (nb_tile, l, TQ), 1)
+        keys = (bits.reshape(nb_tile, l, TQ) & ~(l - 1)) | loc
+        bmin = jnp.min(keys, axis=1)  # [nb_tile, TQ]: dist + local argmin
         base = jax.lax.broadcasted_iota(jnp.int32, (nb_tile, TQ), 0) * l + j * TK
         cand_d[pl.ds(j * nb_tile, nb_tile), :] = bmin
-        cand_i[pl.ds(j * nb_tile, nb_tile), :] = base + barg
+        cand_i[pl.ds(j * nb_tile, nb_tile), :] = base + (bmin & (l - 1))
         return 0
 
     lax.fori_loop(0, n // TK, key_tile, 0)
 
-    # exact top-k extraction over candidate buckets
-    cd = cand_d[...]  # [nb_total, TQ]
-    ci = cand_i[...]
+    # top-k extraction over candidate buckets, candidate ROW packed into
+    # the low key bits (the local-argmin bits are spent — cand_i holds the
+    # global index), so each round's winner is unique and found with one
+    # min + one compare instead of min + compare + masked argmin.
+    # Emitted distances are quantized to ~2^-(23 - log2(nb_total))
+    # relative (masked LSBs); every consumer that needs exact distances
+    # (chamfer loss, 3-NN weights) recomputes them from idx.
     row = jax.lax.broadcasted_iota(jnp.int32, (nb_total, TQ), 0)
+    rbits = max((nb_total - 1).bit_length(), (l - 1).bit_length())
+    ck = (cand_d[...] & ~((1 << rbits) - 1)) | row
+    ci = cand_i[...]
     for jj in range(k):
-        m = jnp.min(cd, axis=0)  # [TQ]
-        is_m = cd == m[None, :]
-        a = jnp.min(jnp.where(is_m, row, nb_total), axis=0)  # [TQ]
-        sel = row == a[None, :]
-        out_d_ref[0, :, jj] = m
+        m = jnp.min(ck, axis=0)  # [TQ] unique winner (row in LSBs)
+        sel = ck == m[None, :]
+        out_d_ref[0, :, jj] = jax.lax.bitcast_convert_type(
+            m & ~((1 << rbits) - 1), jnp.float32
+        )
         out_i_ref[0, :, jj] = jnp.sum(jnp.where(sel, ci, 0), axis=0)
-        cd = jnp.where(sel, _BIG, cd)
+        ck = jnp.where(sel, jnp.iinfo(jnp.int32).max, ck)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 4))
@@ -172,7 +185,8 @@ def knn_pallas(
             pl.BlockSpec((1, TQ, k), lambda b, i, valid: (b, i, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Np // bucket, TQ), jnp.float32),
+            # packed int32 sort keys (bitcast fp32 distances + index bits)
+            pltpu.VMEM((Np // bucket, TQ), jnp.int32),
             pltpu.VMEM((Np // bucket, TQ), jnp.int32),
         ],
     )
@@ -183,5 +197,10 @@ def knn_pallas(
             jax.ShapeDtypeStruct((B, S + s_pad, k), jnp.float32),
             jax.ShapeDtypeStruct((B, S + s_pad, k), jnp.int32),
         ],
+        # candidate scratch + packed extraction temporaries overflow the
+        # default 16MB scoped-VMEM budget at 16k+ keys
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(valid, q_t, p_t)
     return out_d[:, :S], out_i[:, :S]
