@@ -66,6 +66,41 @@ class TestGoldenWindow:
             assert os.path.exists(os.path.join(INPUTS, f"backward_{i}.bin"))
 
 
+KITTI = "/root/reference/PointINet20230424/data/demo_data"
+
+
+@pytest.mark.skipif(not os.path.isdir(KITTI), reason="KITTI demo data unavailable")
+class TestGoldenKittiPair:
+    """The reference's committed KITTI pair + its own interpolated outputs
+    (PointINet20230424/data/demo_data) — the second golden artifact set
+    SURVEY.md §4 names."""
+
+    def _load(self, rel, width, n=8192, seed=0):
+        pts = np.fromfile(os.path.join(KITTI, rel), np.float32)
+        pts = pts.reshape(-1, width)[:, :3]
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(subsample(pts, n, "random", rng))[None]
+
+    def test_pair_formats_and_scale(self):
+        k1 = self._load("original/000000.bin", 4)
+        k2 = self._load("original/000001.bin", 4)
+        cd = float(ops.chamfer_distance(k1, k2))
+        assert 0.01 < cd < 10.0, cd
+
+    def test_committed_interpolations_sit_between_keys(self):
+        """The reference's own saved results drift from key1 toward key2
+        as t grows — the same monotonicity our models must reproduce."""
+        k1 = self._load("original/000000.bin", 4)
+        k2 = self._load("original/000001.bin", 4)
+        cd1, cd2 = [], []
+        for t in ("0.2", "0.4", "0.6", "0.8"):
+            res = self._load(f"interpolated/{t}.bin", 4, seed=1)
+            cd1.append(float(ops.chamfer_distance(res, k1)))
+            cd2.append(float(ops.chamfer_distance(res, k2)))
+        assert cd1[0] < cd1[-1], cd1  # moving away from key1
+        assert cd2[0] > cd2[-1], cd2  # toward key2
+
+
 GOLDEN_NPZ = os.path.join(os.path.dirname(__file__), "golden",
                           "model_outputs.npz")
 
