@@ -93,6 +93,40 @@ class TestFusionKnnPallas:
 
 
 @requires_tpu
+class TestFusionKnnMulti:
+    def test_three_segments_vs_oracle(self, rng):
+        """F=3 budgeted extraction (the ISAPCInet field=2 fusion shape)."""
+        from pci_tpu.ops.pallas_kernels import knn_fusion_multi
+
+        N, k = 4096, 24
+        pts = rng.standard_normal((1, N, 3)).astype(np.float32) * 5
+        seg_ends = np.array([[1024, 2560, 4096]], np.int32)
+        budgets = np.array([[6, 10, 8]], np.int32)
+        idx, resi = knn_fusion_multi(
+            jnp.asarray(pts), jnp.asarray(seg_ends), jnp.asarray(budgets),
+            k, emit_idx=True,
+        )
+        idx, resi = np.asarray(idx)[0], np.asarray(resi)[0]
+        d = ((pts[0][:, None, :] - pts[0][None, :, :]) ** 2).sum(-1)
+        np.testing.assert_allclose(
+            resi, pts[0][idx] - pts[0][:, None, :], atol=1e-5
+        )
+        lo = 0
+        slot = 0
+        for j in range(3):
+            hi, b = int(seg_ends[0, j]), int(budgets[0, j])
+            blk = idx[:, slot:slot + b]
+            assert ((blk >= lo) & (blk < hi)).all(), (j, lo, hi)
+            order = np.argsort(d[:, lo:hi], axis=1, kind="stable") + lo
+            assert (blk[:, 0] == order[:, 0]).all()  # nearest-in-segment
+            rec = np.mean([
+                len(set(blk[i]) & set(order[i, :b])) / b for i in range(N)
+            ])
+            assert rec > 0.93, (j, rec)
+            lo, slot = hi, slot + b
+
+
+@requires_tpu
 class TestFpsPallas:
     def test_matches_fori_loop(self, rng):
         import importlib
