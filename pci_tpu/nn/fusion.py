@@ -102,8 +102,11 @@ def _prefix_merge(a, b, split, axis):
 # candidate bucket of the fused TPU kernel straddles the two segments.  A
 # <= _ALIGN/2-point shift of a RANDOM split (the reference samples the
 # subsets randomly anyway); applied on every backend so CPU tests see the
-# TPU semantics.
-_ALIGN = 16
+# TPU semantics.  32 = the fused kernel's bucket length (A/B on v5e @16k:
+# bucket 16 -> 5.1 ms at 0.986 recall, 32 -> 3.6 ms at 0.973, 64 -> 2.9 ms
+# at 0.945; 32 is the speed/recall knee, and 0.97 matches the approx-kNN
+# recall already accepted throughout the flow layers).
+_ALIGN = 32
 
 
 def _adaptive_budgets(N, k, t):
@@ -224,7 +227,7 @@ class PointsFusion(nn.Module):
             # extraction, pre-merged residual block (see fusion_knn_tpu)
             from ..ops.pallas_kernels import knn_fusion_adaptive
 
-            resi = knn_fusion_adaptive(combined, N1, k1, k)
+            resi = knn_fusion_adaptive(combined, N1, k1, k, _ALIGN)
         else:
             c1 = jnp.take_along_axis(points1, perm1[..., None], axis=1)
             c2 = jnp.take_along_axis(points2, perm2[..., None], axis=1)
@@ -279,7 +282,7 @@ class PointsFusionWithFeatures(nn.Module):
             from ..ops.pallas_kernels import knn_fusion_adaptive
 
             idx, resi = knn_fusion_adaptive(
-                combined, N1, k1, k, emit_idx=True
+                combined, N1, k1, k, _ALIGN, emit_idx=True
             )
             nfs = ops.index_points(combined_feats, idx)
         else:
@@ -341,7 +344,7 @@ class PointsFusionMulti(nn.Module):
             from ..ops.pallas_kernels import knn_fusion_multi
 
             resi = knn_fusion_multi(
-                combined, jnp.cumsum(n_all, axis=1), k_all, k
+                combined, jnp.cumsum(n_all, axis=1), k_all, k, _ALIGN
             )
         else:
             shuffled = [
