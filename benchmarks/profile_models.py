@@ -1,0 +1,104 @@
+"""Model-level TPU timings: ISAPCInet @16k and batched PointINet
+throughput (serving-relevant), honest slope clock.
+
+  python -m benchmarks.profile_models [--npoints 16384]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def _slope(fn, args, reps, label):
+    import jax
+    import jax.numpy as jnp
+
+    def make(length):
+        @jax.jit
+        def run(seed, args):
+            def body(carry, _):
+                out = fn(*args, carry)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                red = jnp.sum(leaf.astype(jnp.float32) ** 2) ** 0.5
+                return carry * 1e-6 + 1e-6 * red, None
+
+            carry, _ = jax.lax.scan(body, seed, None, length=length)
+            return carry
+
+        return run
+
+    lo, hi = make(reps), make(5 * reps)
+    float(lo(jnp.float32(0.0), args))
+    float(hi(jnp.float32(0.0), args))
+    t0 = time.perf_counter()
+    float(lo(jnp.float32(1.0), args))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(hi(jnp.float32(1.0), args))
+    dt = (time.perf_counter() - t0 - t_lo) / (4 * reps) * 1e3
+    print(f"{label:46s} {dt:8.2f} ms", flush=True)
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--npoints", type=int, default=16384)
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pci_tpu.models import ISAPCInet, PointINet
+
+    N, reps = args.npoints, args.reps
+    rng = np.random.default_rng(0)
+
+    def cl(b=1):
+        return jnp.asarray(rng.standard_normal((b, N, 3)).astype(np.float32) * 10)
+
+    print(f"N={N} device={jax.devices()[0].platform}", flush=True)
+
+    # --- batched PointINet throughput ---
+    for B in (1, 4):
+        p1, p2 = cl(B), cl(B)
+        zeros = jnp.zeros_like(p1)
+        t = jnp.full((B,), 0.5, jnp.float32)
+        model = PointINet(freeze_flow=True)
+        rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+        mv = jax.jit(lambda p1=p1, p2=p2, t=t: model.init(
+            rngs, p1, p2, zeros, zeros, t, train=False))()
+        ms = _slope(
+            lambda v, a, b, tt, c: model.apply(
+                v, a + c, b, jnp.zeros_like(a), jnp.zeros_like(a), tt,
+                train=False, rngs={"sample": jax.random.key(2)},
+            ),
+            (mv, p1, p2, t), reps, f"PointINet B={B} (per-call)",
+        )
+        print(f"  -> {B / ms * 1e3:.1f} frames/s throughput", flush=True)
+
+    # --- ISAPCInet field=1 and 2 ---
+    for field in (1, 2):
+        fwd = [cl() for _ in range(field)]
+        keys = [cl(), cl()]
+        bwd = [cl() for _ in range(field)]
+        t = jnp.asarray([0.5], jnp.float32)
+        zeros = jnp.zeros((1, N, 3), jnp.float32)
+        net = ISAPCInet(field=field, freeze_flow=True)
+        rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+        nv = jax.jit(lambda fwd=fwd, keys=keys, bwd=bwd, t=t: net.init(
+            rngs, fwd, keys, bwd, t, zeros, train=False))()
+        _slope(
+            lambda v, tt, c: net.apply(
+                v, [f + c for f in fwd], keys, bwd, tt, zeros,
+                train=False, rngs={"sample": jax.random.key(2)},
+            ),
+            (nv, t), max(reps // 2, 4), f"ISAPCInet field={field}",
+        )
+
+
+if __name__ == "__main__":
+    main()
