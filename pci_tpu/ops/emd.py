@@ -204,8 +204,11 @@ def sinkhorn_emd(pc1: jax.Array, pc2: jax.Array, reg: float = 0.05,
     Measured against ``scipy.optimize.linear_sum_assignment`` on 256 and
     1024-pt pairs (drifted and independent clouds): within 2.5% at the
     defaults, <=0.2% on the realistic drifted-pair eval workload
-    (tests/test_ops.py::TestSinkhornEmd).  Use ``emd`` (auction) when
-    exactness matters more than throughput.
+    (tests/test_ops.py::TestSinkhornEmd).  A 16,384-pt pair takes ~3.3 s
+    on one v5e chip (vs 14.6 s for the auction); the per-iteration cost
+    is two HBM passes over the [N, N] fp32 cost matrix, so time scales
+    linearly with ``iters`` if a looser bracket is acceptable.  Use
+    ``emd`` (auction) when exactness matters more than throughput.
 
     Returns the batch-mean cost scaled by the reference's x36 convention
     (Utils/Utils.py:118); with ``return_bounds=True``, also the batch-mean
