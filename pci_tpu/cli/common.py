@@ -32,6 +32,17 @@ from ..train import (
 )
 
 
+def drain_losses(logger, pending, total, count, key="train_loss"):
+    """Flush device-side pending losses to the host/logger in one batch
+    (the per-step ``float()`` sync stalls the async dispatch pipeline).
+    Returns the updated ``(total, count, pending)`` accumulator triple."""
+    for loss in map(float, pending):
+        logger.log({key: loss})
+        total += loss
+        count += 1
+    return total, count, []
+
+
 def jit_init(model, rngs, *args, **kwargs):
     """``model.init`` under jit: eager flax init on the TPU tunnel
     dispatches every op separately (~28 ms each -> minutes for a full

@@ -26,7 +26,7 @@ from ..train import (
     load_flow_into,
     make_optimizer,
 )
-from .common import add_common_train_flags, batch_to_device, jit_init
+from .common import add_common_train_flags, batch_to_device, drain_losses, jit_init
 
 
 def parse_args(argv=None):
@@ -126,15 +126,8 @@ def main(argv=None):
             state, metrics = step_fn(state, batch, sub, momentum)
             pending.append(metrics["loss"])
             if len(pending) >= args.log_every:
-                for loss in map(float, pending):
-                    logger.log({"train_loss": loss})
-                    total += loss
-                    count += 1
-                pending = []
-        for loss in map(float, pending):
-            logger.log({"train_loss": loss})
-            total += loss
-            count += 1
+                total, count, pending = drain_losses(logger, pending, total, count)
+        total, count, pending = drain_losses(logger, pending, total, count)
         epoch_loss = total / max(count, 1)
         print(f"Epoch {epoch + 1}: loss {epoch_loss:.6f}")
         saved = keeper.update(

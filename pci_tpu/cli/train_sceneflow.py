@@ -36,7 +36,7 @@ from ..train import (
     make_optimizer,
     make_sceneflow_train_step,
 )
-from .common import add_common_train_flags, batch_to_device, jit_init
+from .common import add_common_train_flags, batch_to_device, drain_losses, jit_init
 
 
 def parse_args(argv=None):
@@ -116,15 +116,8 @@ def main(argv=None):
             state, metrics = step_fn(state, batch, momentum)
             pending.append(metrics["loss"])
             if len(pending) >= args.log_every:
-                for loss in map(float, pending):
-                    logger.log({"train_loss": loss})
-                    total += loss
-                    count += 1
-                pending = []
-        for loss in map(float, pending):
-            logger.log({"train_loss": loss})
-            total += loss
-            count += 1
+                total, count, pending = drain_losses(logger, pending, total, count)
+        total, count, pending = drain_losses(logger, pending, total, count)
         epoch_loss = total / max(count, 1)
         print(f"Epoch {epoch + 1}: loss {epoch_loss:.6f}")
         logger.log({"epochs": epoch, "epoch_loss": epoch_loss})

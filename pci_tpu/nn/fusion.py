@@ -46,15 +46,6 @@ def _safe_norm(x, axis=-1, keepdims=True, eps=1e-12):
     return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
 
 
-def _neighbor_features(combined, cloud, k, valid_n):
-    """kNN of `combined` into `cloud[:valid_n]`; returns ([B,N,k,4], [B,N,k,3])."""
-    _, idx = ops.knn_prefix(combined, cloud, k, valid_n)
-    nn_pts = ops.index_points(cloud, idx)  # [B,N,k,3]
-    resi = nn_pts - combined[:, :, None, :]
-    dist = _safe_norm(resi)
-    return jnp.concatenate([resi, dist], axis=-1), nn_pts
-
-
 def _prefix_merge(a, b, split, axis):
     """Merge two equal-shape arrays along `axis`: first `split` (per-batch)
     slots from `a`, the rest from the front of `b`.  Static shapes.
@@ -231,8 +222,13 @@ class PointsFusion(nn.Module):
         else:
             c1 = jnp.take_along_axis(points1, perm1[..., None], axis=1)
             c2 = jnp.take_along_axis(points2, perm2[..., None], axis=1)
-            f1, nn1 = _neighbor_features(combined, c1, k, jnp.maximum(N1, 1))
-            f2, nn2 = _neighbor_features(combined, c2, k, jnp.maximum(N2, 1))
+
+            def neighbors(cloud, valid):
+                _, idx = ops.knn_prefix(combined, cloud, k, valid)
+                return ops.index_points(cloud, idx)
+
+            nn1 = neighbors(c1, jnp.maximum(N1, 1))
+            nn2 = neighbors(c2, jnp.maximum(N2, 1))
             nns = _prefix_merge(nn1, nn2, k1, axis=2)  # [B,N,k,3]
             resi = nns - combined[:, :, None, :]
 
@@ -288,13 +284,17 @@ class PointsFusionWithFeatures(nn.Module):
         else:
             c1 = jnp.take_along_axis(points1, perm1[..., None], axis=1)
             c2 = jnp.take_along_axis(points2, perm2[..., None], axis=1)
+            # features must ride the SAME shuffle as their cloud — idx
+            # indexes the shuffled cloud, so gather from shuffled feats
+            sf1 = jnp.take_along_axis(feats1, perm1[..., None], axis=1)
+            sf2 = jnp.take_along_axis(feats2, perm2[..., None], axis=1)
 
             def grouped(cloud, feat, valid):
                 _, idx = ops.knn_prefix(combined, cloud, k, valid)
                 return ops.index_points(cloud, idx), ops.index_points(feat, idx)
 
-            nn1, nf1 = grouped(c1, feats1, jnp.maximum(N1, 1))
-            nn2, nf2 = grouped(c2, feats2, jnp.maximum(N2, 1))
+            nn1, nf1 = grouped(c1, sf1, jnp.maximum(N1, 1))
+            nn2, nf2 = grouped(c2, sf2, jnp.maximum(N2, 1))
             nns = _prefix_merge(nn1, nn2, k1, axis=2)
             nfs = _prefix_merge(nf1, nf2, k1, axis=2)
             resi = nns - combined[:, :, None, :]
@@ -354,10 +354,10 @@ class PointsFusionMulti(nn.Module):
             # per-cloud kNN into valid prefixes, then compact along slots
             nn_parts = []
             for j in range(F):
-                _, nn_pts = _neighbor_features(
+                _, idx = ops.knn_prefix(
                     combined, shuffled[j], k, jnp.maximum(n_all[:, j], 1)
                 )
-                nn_parts.append(nn_pts)
+                nn_parts.append(ops.index_points(shuffled[j], idx))
             nns = _budget_compact(nn_parts, k_all, k)
             resi = nns - combined[:, :, None, :]
 

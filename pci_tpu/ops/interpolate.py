@@ -36,7 +36,13 @@ def three_nn_interpolate(
     Returns:
       ``[B, N, C]`` interpolated features.
     """
-    d, idx = knn(query_xyz, ref_xyz, 3)  # sorted ascending
+    _, idx = knn(query_xyz, ref_xyz, 3)  # sorted ascending
+    # recompute exact squared distances from the indices: the Pallas kNN
+    # path emits quantized distances (packed sort keys) and only the
+    # INDICES are contract-exact; the weights here divide by d, where a
+    # relative quantization error would be amplified near zero
+    nn_xyz = index_points(ref_xyz, idx)  # [B, N, 3, 3]
+    d = jnp.sum((nn_xyz - query_xyz[:, :, None, :]) ** 2, axis=-1)
     if mode == "clamp":
         d = jnp.maximum(d, 1e-10)
         recip = 1.0 / d

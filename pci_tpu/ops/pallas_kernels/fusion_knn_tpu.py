@@ -126,10 +126,11 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
 
     lax.fori_loop(0, n // TK, key_tile, 0)
 
-    # extraction: pack the candidate-row id into the low bits (the local
-    # argmin bits are no longer needed — cand_i holds the global index)
+    # extraction: pack the candidate-row id into the low bits.  The floor
+    # of (l-1).bit_length() clears the stale local-argmin bits even when
+    # nb_total < l (cand_i already holds the global index)
     row = jax.lax.broadcasted_iota(jnp.int32, (nb_total, TQ), 0)
-    rbits = max((nb_total - 1).bit_length(), 1)
+    rbits = max((nb_total - 1).bit_length(), (l - 1).bit_length())
     ck = (cand_k[...] & ~((1 << rbits) - 1)) | row
     cx = cand_x[...]
     cy = cand_y[...]
@@ -142,21 +143,33 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
     zf = jnp.zeros((TQ, k), jnp.float32)
     zi = jnp.zeros((TQ, k), jnp.int32)
 
+    qpos = (
+        jax.lax.broadcasted_iota(jnp.int32, (TQ,), 0)
+        + pl.program_id(1) * TQ
+    )
+
     def extract(jj, carry):
         keys, od_a, oi_a, rx_a, ry_a, rz_a = carry
         m = jnp.min(keys, axis=0)  # [TQ] winner (unique: row in LSBs)
+        # a segment with fewer bucket candidates than its budget exhausts
+        # mid-phase: every key is the sentinel, sel matches ALL rows and
+        # the coordinate sums would be garbage — emit a zero residual at
+        # the query's own index instead (a self-neighbor, the benign
+        # analog of the reference's duplicated neighbors at tiny pools)
+        valid = m != _IMAX  # [TQ]
         sel = keys == m[None, :]
         x = jnp.sum(jnp.where(sel, cx, 0.0), axis=0)
         y = jnp.sum(jnp.where(sel, cy, 0.0), axis=0)
         z = jnp.sum(jnp.where(sel, cz, 0.0), axis=0)
-        rx = x - qx
-        ry = y - qy
-        rz = z - qz
+        rx = jnp.where(valid, x - qx, 0.0)
+        ry = jnp.where(valid, y - qy, 0.0)
+        rz = jnp.where(valid, z - qz, 0.0)
         upd = kiota == jj  # [TQ, k] slot-jj mask
         if emit_d:
             od_a = jnp.where(upd, (rx * rx + ry * ry + rz * rz)[:, None], od_a)
         if emit_idx:
             i = jnp.sum(jnp.where(sel, cand_i[...], 0), axis=0)
+            i = jnp.where(valid, i, qpos)
             oi_a = jnp.where(upd, i[:, None], oi_a)
         rx_a = jnp.where(upd, rx[:, None], rx_a)
         ry_a = jnp.where(upd, ry[:, None], ry_a)
@@ -192,37 +205,7 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
     orr[0, 2] = rz_a
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def knn_fusion_multi(combined: jax.Array, seg_ends: jax.Array,
-                     budgets: jax.Array, k: int, bucket: int = 16,
-                     emit_d: bool = False, emit_idx: bool = False):
-    """Budgeted self-kNN of ``combined`` into its F prefix segments.
-
-    For each query point, returns its ``budgets[j]`` nearest neighbors
-    among rows [seg_ends[j-1], seg_ends[j]) for every segment j, blocks
-    concatenated in segment order — the multi-cloud fusion head's
-    budget-compacted kNN block (/root/reference/Utils/Layers.py:286-381)
-    in the reference's order, with no compaction pass needed outside.
-
-    Args:
-      combined: ``[B, N, 3]``.
-      seg_ends: ``[B, F]`` int32 cumulative segment ends, each a multiple
-        of ``bucket``, last column == N.
-      budgets: ``[B, F]`` int32 per-segment neighbor budgets, rows
-        summing to ``k``.
-      k: total neighbor count (static).
-      bucket: power-of-two bucket length (approximation grain, like
-        ``lax.approx_min_k``; per-segment recall
-        ~``1 - (k_seg - 1) * l / (2 * N_seg)``; nearest-in-segment exact).
-      emit_d / emit_idx: also emit sq-dists / global indices into
-        ``combined``.
-
-    Returns:
-      ``([d [B,N,k]]? [idx [B,N,k]]? resi [B,N,k,3])`` — residual
-      ``neighbor - query`` exact fp32.  If a segment holds fewer points
-      than its budget, its surplus slots carry the padded sentinel (huge
-      residuals); callers consume at most ``min(budget, segment size)``.
-    """
+def _fusion_impl(combined, seg_ends, budgets, k, bucket, emit_d, emit_idx):
     combined = lax.stop_gradient(combined)
     B, N, C = combined.shape
     F = seg_ends.shape[1]
@@ -294,6 +277,87 @@ def knn_fusion_multi(combined: jax.Array, seg_ends: jax.Array,
         result.append(next(it)[:, :N])
     r = next(it)
     result.append(jnp.transpose(r[:, :, :N], (0, 2, 3, 1)))  # [B, N, k, 3]
+    return tuple(result) if len(result) > 1 else result[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fusion_core(combined, seg_ends, budgets, k, bucket):
+    """(idx, resi) with a FIXED-neighbor backward: gradients through the
+    residuals flow into ``combined`` exactly like the jnp fallback's
+    differentiable gather (d resi[b,n,j] / d combined = one-hot at
+    idx[b,n,j] minus one-hot at n), so TPU and CPU training see the same
+    gradients."""
+    return _fusion_impl(combined, seg_ends, budgets, k, bucket, False, True)
+
+
+def _fusion_core_fwd(combined, seg_ends, budgets, k, bucket):
+    idx, resi = _fusion_impl(combined, seg_ends, budgets, k, bucket, False, True)
+    return (idx, resi), (idx, seg_ends, budgets)
+
+
+def _fusion_core_bwd(k, bucket, res, g):
+    import numpy as np
+
+    idx, seg_ends, budgets = res
+    g_resi = g[1]  # [B, N, k, 3]; idx cotangent is float0
+    B, N, k_, _ = g_resi.shape
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    g_nb = (
+        jnp.zeros((B, N, 3), g_resi.dtype)
+        .at[bidx, idx.reshape(B, N * k_)]
+        .add(g_resi.reshape(B, N * k_, 3))
+    )
+    g_comb = g_nb - jnp.sum(g_resi, axis=2)
+    zint = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return g_comb, zint(seg_ends), zint(budgets)
+
+
+_fusion_core.defvjp(_fusion_core_fwd, _fusion_core_bwd)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def knn_fusion_multi(combined: jax.Array, seg_ends: jax.Array,
+                     budgets: jax.Array, k: int, bucket: int = 16,
+                     emit_d: bool = False, emit_idx: bool = False):
+    """Budgeted self-kNN of ``combined`` into its F prefix segments.
+
+    For each query point, returns its ``budgets[j]`` nearest neighbors
+    among rows [seg_ends[j-1], seg_ends[j]) for every segment j, blocks
+    concatenated in segment order — the multi-cloud fusion head's
+    budget-compacted kNN block (/root/reference/Utils/Layers.py:286-381)
+    in the reference's order, with no compaction pass needed outside.
+
+    Differentiable in ``combined`` with fixed-neighbor semantics (the
+    same subgradient the jnp fallback's gather produces); ``d`` is
+    derived as ``sum(resi**2)`` so it backpropagates too.
+
+    Args:
+      combined: ``[B, N, 3]``.
+      seg_ends: ``[B, F]`` int32 cumulative segment ends, each a multiple
+        of ``bucket``, last column == N.
+      budgets: ``[B, F]`` int32 per-segment neighbor budgets, rows
+        summing to ``k``.
+      k: total neighbor count (static).
+      bucket: power-of-two bucket length (approximation grain, like
+        ``lax.approx_min_k``; per-segment recall
+        ~``1 - (k_seg - 1) * l / (2 * N_seg)``; nearest-in-segment exact).
+      emit_d / emit_idx: also emit sq-dists / global indices into
+        ``combined``.
+
+    Returns:
+      ``([d [B,N,k]]? [idx [B,N,k]]? resi [B,N,k,3])`` — residual
+      ``neighbor - query`` exact fp32.  If a segment holds fewer bucket
+      candidates than its budget, its surplus slots emit a ZERO residual
+      at the query's own index (a self-neighbor — the benign analog of
+      the reference's duplicated neighbors at tiny pools).
+    """
+    idx, resi = _fusion_core(combined, seg_ends, budgets, k, bucket)
+    result = []
+    if emit_d:
+        result.append(jnp.sum(resi * resi, axis=-1))
+    if emit_idx:
+        result.append(idx)
+    result.append(resi)
     return tuple(result) if len(result) > 1 else result[0]
 
 

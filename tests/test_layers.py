@@ -179,6 +179,25 @@ class TestFusion:
 
 
 class TestFusionHelpers:
+    def test_with_features_gathers_matching_points(self, rng):
+        """Regression: with feats == points, the fused feature channel must
+        equal the fused xyz exactly — neighbor features must come from the
+        SAME (shuffled) points the neighbor indices refer to."""
+        fusion = pnn.PointsFusionWithFeatures((8, 16))
+        p1, p2 = cloud(rng, 1, 64), cloud(rng, 1, 64)
+        t = jnp.asarray([0.4])
+        vars_ = fusion.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            p1, p2, p1, p2, 8, t, train=False,
+        )
+        out = fusion.apply(
+            vars_, p1, p2, p1, p2, 8, t, train=False,
+            rngs={"sample": jax.random.key(2)},
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[..., :3]), np.asarray(out[..., 3:]), atol=1e-5
+        )
+
     def test_multi_budgets_invariants(self):
         from pci_tpu.nn.fusion import _ALIGN, _multi_budgets
 
