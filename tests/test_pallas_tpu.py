@@ -127,6 +127,36 @@ class TestFusionKnnMulti:
 
 
 @requires_tpu
+class TestFusionKnnExhaustion:
+    def test_budget_exceeding_segment_emits_self_neighbors(self, rng):
+        """A segment with fewer bucket candidates than its budget must
+        fill surplus slots with zero residuals at the query's own index
+        (not garbage coordinate sums)."""
+        from pci_tpu.ops.pallas_kernels import knn_fusion_multi
+
+        N, k, bucket = 4096, 32, 16
+        pts = rng.standard_normal((1, N, 3)).astype(np.float32) * 5
+        # segment A = 64 points = 4 bucket rows, budget 20 -> 16 surplus
+        seg = jnp.asarray([[64, N]], jnp.int32)
+        bud = jnp.asarray([[20, 12]], jnp.int32)
+        idx, resi = knn_fusion_multi(
+            jnp.asarray(pts), seg, bud, k, bucket, emit_idx=True
+        )
+        idx, resi = np.asarray(idx)[0], np.asarray(resi)[0]
+        # first 4 slots hold real segment-A candidates; slots 4..20 are
+        # exhausted -> self index, zero residual
+        qpos = np.arange(N)
+        assert (idx[:, :4] < 64).all()
+        np.testing.assert_array_equal(
+            idx[:, 4:20], np.broadcast_to(qpos[:, None], (N, 16))
+        )
+        np.testing.assert_allclose(resi[:, 4:20], 0.0, atol=1e-6)
+        assert np.abs(resi).max() < 1e3  # no sentinel garbage anywhere
+        # segment B block untouched and in range
+        assert ((idx[:, 20:] >= 64) & (idx[:, 20:] < N)).all()
+
+
+@requires_tpu
 class TestFusionKnnGrad:
     def test_vjp_matches_fixed_neighbor_gather(self, rng):
         """The kernel's custom VJP must produce the same gradient as the
