@@ -6,23 +6,88 @@ provides (the driver runs this on one real TPU chip).
 
 Prints ONE JSON line:
   {"metric": "frames_per_sec_16k", "value": N, "unit": "frames/s",
-   "vs_baseline": N / 4.909}
+   "vs_baseline": N / 4.909, "cd_val": ..., "cd_identity": ...}
 Baseline: the PointINet paper's RTX 2060 single-frame rate at 16,384 pts
 (203.7 ms/frame = 4.909 fps, BASELINE.md).
+
+ACCURACY GATE (VERDICT r2 item 4): before timing, the TRAINED checkpoint
+(results/checkpoints/pointinet_synth16k) is evaluated on deterministic
+held-out synthetic windows (generated on the fly — hermetic, no data
+mounts needed) and the bench HARD-FAILS unless the model beats the
+identity baseline with margin.  A kernel "optimization" that trades CD
+for fps therefore fails the driver run instead of being recorded as a
+win.  Timing then uses the trained weights (not random init).
 """
 
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
+
+# Gate thresholds, calibrated on the committed checkpoint (fp32 eval CD
+# 0.167 on the original val scenes; fresh-seed scenes read within ~15%).
+CD_ABS_MAX = 0.25
+CD_VS_IDENTITY_MAX = 0.92  # model must beat copy-key1 by >= 8%
 
 
 def _load_cloud(path, npoints, width, seed):
     pts = np.fromfile(path, np.float32).reshape(-1, width)[:, :3]
     idx = np.random.default_rng(seed).choice(len(pts), npoints, replace=len(pts) < npoints)
     return pts[idx]
+
+
+def _accuracy_gate(model, variables, npoints, n_windows=6):
+    """Evaluate the trained weights on fresh deterministic synthetic
+    windows; return (cd_val, cd_identity) and raise on regression."""
+    import jax
+    import jax.numpy as jnp
+
+    from pci_tpu import ops
+    from pci_tpu.data import NuscenesTripletDataset, generate_scenes
+
+    root = os.path.join(tempfile.gettempdir(), "pci_benchval")
+    if not os.path.exists(os.path.join(root, "scenes.txt")):
+        generate_scenes(root, n_scenes=2, n_frames=24, npts=24000,
+                        seed=123, prefix="benchval")
+    with open(os.path.join(root, "benchval.txt"), "w") as f:
+        f.write("benchval-0000\nbenchval-0001\n")
+    ds = NuscenesTripletDataset(
+        os.path.join(root, "lidar"), os.path.join(root, "benchval.txt"),
+        os.path.join(root, "split"), npoints=npoints, interval=5,
+        train=False, use_intensity=False, seed=0,
+    )
+
+    @jax.jit
+    def predict(p1, p2, t):
+        zeros = jnp.zeros_like(p1)
+        return model.apply(
+            variables, p1, p2, zeros, zeros, t, train=False,
+            rngs={"sample": jax.random.key(7)},
+        )
+
+    cds, cds_id = [], []
+    step = max(1, len(ds) // n_windows)
+    for i in range(0, len(ds), step):
+        item = ds[i]
+        p1 = jnp.asarray(item["ini_pc"][None, :, :3])
+        p2 = jnp.asarray(item["end_pc"][None, :, :3])
+        gt = jnp.asarray(item["mid_pc"][None, :, :3])
+        t = jnp.asarray([item["t"]], jnp.float32)
+        pred = predict(p1, p2, t)[..., :3]
+        cds.append(float(ops.chamfer_distance(pred, gt)))
+        cds_id.append(float(ops.chamfer_distance(p1, gt)))
+    cd, cd_id = float(np.mean(cds)), float(np.mean(cds_id))
+    if not (cd < CD_ABS_MAX and cd < CD_VS_IDENTITY_MAX * cd_id):
+        print(json.dumps({
+            "metric": "frames_per_sec_16k", "value": 0.0, "unit": "frames/s",
+            "vs_baseline": 0.0, "error": "ACCURACY GATE FAILED",
+            "cd_val": round(cd, 4), "cd_identity": round(cd_id, 4),
+        }))
+        sys.exit(1)
+    return cd, cd_id
 
 
 def main():
@@ -49,6 +114,17 @@ def main():
     model = PointINet(freeze_flow=True)
     rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
     variables = model.init(rngs, p1, p2, zeros, zeros, t, train=False)
+
+    cd_val = cd_id = None
+    ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "results", "checkpoints", "pointinet_synth16k",
+    )
+    if os.path.isdir(ckpt):
+        from pci_tpu.train import load_params
+
+        variables = load_params(ckpt, variables)
+        cd_val, cd_id = _accuracy_gate(model, variables, npoints)
 
     def fwd(variables, p1, p2, t, key):
         return model.apply(
@@ -88,16 +164,16 @@ def main():
 
     fps = 1.0 / dt
     baseline_fps = 1.0 / 0.2037  # paper Table 6, RTX 2060 @ 16,384 pts
-    print(
-        json.dumps(
-            {
-                "metric": "frames_per_sec_16k",
-                "value": round(fps, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / baseline_fps, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "frames_per_sec_16k",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 3),
+    }
+    if cd_val is not None:
+        record["cd_val"] = round(cd_val, 4)
+        record["cd_identity"] = round(cd_id, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

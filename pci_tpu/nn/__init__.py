@@ -1,5 +1,6 @@
 """Neural layers (L1 of the reference's layer map, SURVEY.md section 2.1)."""
 
+from . import policy
 from .fusion import PointsFusion, PointsFusionMulti, PointsFusionWithFeatures
 from .heads import Outputer, Tnet, Wnet
 from .layers import (
@@ -19,6 +20,7 @@ from .pointnet2 import (
 from .transformer import TransformerLayer
 
 __all__ = [
+    "policy",
     "PointsFusion",
     "PointsFusionMulti",
     "PointsFusionWithFeatures",

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .. import ops
+from . import policy
 from .mlp import PointMLP
 
 
@@ -128,13 +129,19 @@ def _multi_budgets(N, k, w_head):
     >= ``_ALIGN`` points.  A <= _ALIGN/2-point perturbation per cloud of
     the reference's ``floor(N * w)`` budgets (Utils/Layers.py:309-318)."""
     k_budget = jnp.floor(k * w_head).astype(jnp.int32)
-    k_last = k - jnp.sum(k_budget, axis=1, keepdims=True)
-    k_all = jnp.concatenate([k_budget, k_last], axis=1)
     n_b = (jnp.floor(N * w_head / _ALIGN + 0.5) * _ALIGN).astype(jnp.int32)
     n_b = jnp.maximum(n_b, _ALIGN * (k_budget > 0))
     cum = jnp.minimum(jnp.cumsum(n_b, axis=1), N - _ALIGN)
     n_b = jnp.diff(cum, axis=1, prepend=jnp.zeros_like(cum[:, :1]))
     n_all = jnp.concatenate([n_b, N - cum[:, -1:]], axis=1)
+    # the cumsum clamp can clip a middle cloud to n==0 while its k budget
+    # is positive; a zero-point cloud must get zero neighbor slots (the
+    # freed budget goes to the last cloud, which always has >= _ALIGN
+    # points) — otherwise the TPU kernel emits self-neighbors but the CPU
+    # fallback emits out-of-cloud duplicates and backends diverge
+    k_budget = jnp.where(n_b > 0, k_budget, 0)
+    k_last = k - jnp.sum(k_budget, axis=1, keepdims=True)
+    k_all = jnp.concatenate([k_budget, k_last], axis=1)
     return n_all, k_all
 
 
@@ -236,7 +243,7 @@ class PointsFusion(nn.Module):
         feats = jnp.concatenate([resi, dist], axis=-1)  # [B,N,k,4]
         h = PointMLP(self.mlp, norm="batch")(feats, train=train, momentum=momentum)
         scores = jnp.max(h, axis=-1)  # channel max-pool -> [B,N,k]
-        weights = jax.nn.softmax(scores, axis=-1)
+        weights = jax.nn.softmax(policy.f32(scores), axis=-1)
         # sum(w * nn) = combined + sum(w * resi): softmax weights sum to 1
         fused = combined + jnp.sum(weights[..., None] * resi, axis=2)
         return fused
@@ -302,7 +309,7 @@ class PointsFusionWithFeatures(nn.Module):
         g = jnp.concatenate([resi, _safe_norm(resi)], -1)
         h = PointMLP(self.mlp, norm="batch")(g, train=train, momentum=momentum)
         scores = jnp.max(h, axis=-1)
-        weights = jax.nn.softmax(scores, axis=-1)[..., None]
+        weights = jax.nn.softmax(policy.f32(scores), axis=-1)[..., None]
         fused_xyz = combined + jnp.sum(weights * resi, axis=2)
         fused_feat = jnp.sum(weights * nfs, axis=2)
         return jnp.concatenate([fused_xyz, fused_feat], axis=-1)
@@ -364,7 +371,7 @@ class PointsFusionMulti(nn.Module):
         feats = jnp.concatenate([resi, _safe_norm(resi)], axis=-1)
         h = PointMLP(self.mlp, norm="group_div")(feats, train=train, momentum=momentum)
         scores = jnp.max(h, axis=-1)
-        weights_attn = jax.nn.softmax(scores, axis=-1)
+        weights_attn = jax.nn.softmax(policy.f32(scores), axis=-1)
         # sum(w * nn) = combined + sum(w * resi): softmax rows sum to 1
         return combined + jnp.sum(weights_attn[..., None] * resi, axis=2)
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from . import policy
 from .mlp import dense
 from .norm import group_norm
 
@@ -31,7 +32,7 @@ class Tnet(nn.Module):
             h = group_norm(width // 8)(h)
             h = nn.relu(h)
         h = dense(2 * self.field)(h)
-        return nn.softmax(h, axis=-1)
+        return nn.softmax(policy.f32(h), axis=-1)
 
 
 class Wnet(nn.Module):
@@ -47,7 +48,7 @@ class Wnet(nn.Module):
             h = group_norm(width // 8)(h)
             h = nn.relu(h)
         h = dense(6 * self.field)(h)
-        return nn.softmax(h, axis=-1)
+        return nn.softmax(policy.f32(h), axis=-1)
 
 
 class Outputer(nn.Module):
@@ -61,4 +62,5 @@ class Outputer(nn.Module):
         h = dense(32)(h)
         h = group_norm(4)(h)
         h = nn.relu(h)
-        return dense(3)(h)
+        # flow is geometry: fp32 at the head boundary
+        return policy.f32(dense(3)(h))

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import ops
+from . import policy
 from .mlp import PointMLP, dense
 from .norm import BatchNorm
 
@@ -56,9 +57,10 @@ class SetConv(nn.Module):
             xyz, self.npoint, fps_start(self, xyz, train), exact=self.fps_exact
         )
         idx = ops.ball_query(self.radius, self.nsample, xyz, new_xyz)
-        g_xyz = ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
-        g_feat = ops.index_points(feats, idx)
-        h = jnp.concatenate([g_xyz, g_feat], axis=-1)  # [B,S,K,3+D]
+        # one fused [xyz | feats] row gather (gather cost is per-row on TPU)
+        g = ops.index_points(jnp.concatenate([xyz, feats], -1), idx)
+        g_xyz = g[..., :3] - new_xyz[:, :, None, :]
+        h = policy.cast_concat([g_xyz, g[..., 3:]])  # [B,S,K,3+D]
         h = PointMLP(self.mlp, norm="batch")(h, train=train, momentum=momentum)
         return new_xyz, jnp.max(h, axis=2)
 
@@ -76,12 +78,12 @@ class FlowEmbedding(nn.Module):
     @nn.compact
     def __call__(self, xyz1, xyz2, feats1, feats2, *, train=False, momentum=0.1):
         _, idx = ops.knn(xyz1, xyz2, self.nsample)
-        g_xyz = ops.index_points(xyz2, idx) - xyz1[:, :, None, :]
-        g_feat = ops.index_points(feats2, idx)
+        g = ops.index_points(jnp.concatenate([xyz2, feats2], -1), idx)
+        g_xyz = g[..., :3] - xyz1[:, :, None, :]
         f1 = jnp.broadcast_to(
-            feats1[:, :, None, :], g_feat.shape[:3] + (feats1.shape[-1],)
+            feats1[:, :, None, :], g.shape[:3] + (feats1.shape[-1],)
         )
-        h = jnp.concatenate([g_xyz, g_feat, f1], axis=-1)
+        h = policy.cast_concat([g_xyz, g[..., 3:], f1])
         h = PointMLP(self.mlp, norm="batch")(h, train=train, momentum=momentum)
         return jnp.max(h, axis=2)
 
@@ -103,15 +105,15 @@ class SetUpConv(nn.Module):
         self, coarse_xyz, dense_xyz, coarse_feats, dense_feats, *, train=False, momentum=0.1
     ):
         _, idx = ops.knn(dense_xyz, coarse_xyz, self.nsample)
-        g_xyz = ops.index_points(coarse_xyz, idx) - dense_xyz[:, :, None, :]
-        g_feat = ops.index_points(coarse_feats, idx)
-        h = jnp.concatenate([g_xyz, g_feat], axis=-1)
+        g = ops.index_points(jnp.concatenate([coarse_xyz, coarse_feats], -1), idx)
+        g_xyz = g[..., :3] - dense_xyz[:, :, None, :]
+        h = policy.cast_concat([g_xyz, g[..., 3:]])
         if self.mlp1:
             h = PointMLP(self.mlp1, norm="batch", name="conv1")(
                 h, train=train, momentum=momentum
             )
         h = jnp.max(h, axis=2)  # [B,N,C]
-        h = jnp.concatenate([h, dense_feats], axis=-1)
+        h = policy.cast_concat([h, dense_feats])
         h = PointMLP(self.mlp2, norm="batch", name="conv2")(
             h, train=train, momentum=momentum
         )
@@ -128,7 +130,7 @@ class FeaturePropagation(nn.Module):
         self, sub_xyz, dense_xyz, sub_feats, dense_feats, *, train=False, momentum=0.1
     ):
         interp = ops.three_nn_interpolate(dense_xyz, sub_xyz, sub_feats, "clamp")
-        h = jnp.concatenate([interp, dense_feats], axis=-1)
+        h = policy.cast_concat([interp, dense_feats])
         h = PointMLP(self.mlp, norm="batch")(h, train=train, momentum=momentum)
         return h
 
@@ -142,4 +144,5 @@ class Classifier(nn.Module):
         h = dense(128)(feats)
         h = BatchNorm(eps=1e-3)(h, train=train, momentum=momentum)
         h = nn.relu(h)
-        return dense(3)(h)
+        # flow is geometry: leave the bf16 policy at the head boundary
+        return policy.f32(dense(3)(h))

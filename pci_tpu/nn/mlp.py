@@ -18,18 +18,25 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from . import policy
 from .norm import BatchNorm, group_norm
 
 xavier_uniform = nn.initializers.xavier_uniform()
 
 
 def dense(features: int, use_bias: bool = True, name: str | None = None):
-    """Dense layer with the reference's declared init (xavier + zero bias)."""
+    """Dense layer with the reference's declared init (xavier + zero bias).
+
+    Computes in the active :mod:`policy` dtype (params stay fp32; flax
+    casts both operands per-matmul when the policy is bf16).
+    """
     return nn.Dense(
         features,
         use_bias=use_bias,
         kernel_init=xavier_uniform,
         bias_init=nn.initializers.zeros,
+        dtype=policy.compute_dtype(),
+        param_dtype=jnp.float32,
         name=name,
     )
 

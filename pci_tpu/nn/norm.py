@@ -69,5 +69,18 @@ class BatchNorm(nn.Module):
 
 
 def group_norm(num_groups: int) -> nn.GroupNorm:
-    """Torch-default GroupNorm (eps=1e-5) over the trailing channel axis."""
-    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5)
+    """Torch-default GroupNorm (eps=1e-5) over the trailing channel axis.
+
+    ``dtype`` follows the activation policy: flax's ``_compute_stats``
+    always accumulates mean/var in fp32, so a bf16 policy only affects
+    the output dtype (keeps a bf16 chain bf16 through the norm); params
+    stay fp32.
+    """
+    from . import policy
+
+    return nn.GroupNorm(
+        num_groups=num_groups,
+        epsilon=1e-5,
+        dtype=policy.compute_dtype(),
+        param_dtype=jnp.float32,
+    )

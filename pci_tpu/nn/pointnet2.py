@@ -17,6 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .. import ops
+from . import policy
 from .layers import fps_start
 from .mlp import PointMLP, dense
 from .norm import group_norm
@@ -38,16 +39,20 @@ class SetAbstractionMsg(nn.Module):
         new_xyz = ops.fps_points(
             xyz, self.npoint, fps_start(self, xyz, train), exact=self.fps_exact
         )
+        # one O(S*N) distance matrix shared by every radius scale, and one
+        # fused [xyz | feats] gather per scale instead of two row gathers
+        # (gather cost is per-row on TPU; see ops/gather.py)
+        sqrdists = ops.square_distance(new_xyz, xyz)
         outs = []
         for i, radius in enumerate(self.radius_list):
             K = self.nsample_list[i]
-            idx = ops.ball_query(radius, K, xyz, new_xyz)
-            g_xyz = ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
+            idx = ops.ball_query(radius, K, xyz, new_xyz, sqrdists=sqrdists)
             if feats is not None:
-                g_feat = ops.index_points(feats, idx)
-                h = jnp.concatenate([g_feat, g_xyz], axis=-1)
+                g = ops.index_points(jnp.concatenate([xyz, feats], -1), idx)
+                g_xyz = g[..., :3] - new_xyz[:, :, None, :]
+                h = policy.cast_concat([g[..., 3:], g_xyz])
             else:
-                h = g_xyz
+                h = ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
             h = PointMLP(self.mlp_list[i], norm="group", groups=4, name=f"scale{i}")(
                 h, train=train, momentum=momentum
             )
@@ -73,7 +78,7 @@ class FeaturePropagationP2(nn.Module):
         else:
             interp = ops.three_nn_interpolate(dense_xyz, sub_xyz, sub_feats, "eps")
         if dense_feats is not None:
-            h = jnp.concatenate([dense_feats, interp], axis=-1)
+            h = policy.cast_concat([dense_feats, interp])
         else:
             h = interp
         return PointMLP(self.mlp, norm="group", groups=4)(

@@ -13,6 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .. import ops
+from . import policy
 from .mlp import dense
 
 
@@ -25,13 +26,25 @@ class TransformerLayer(nn.Module):
         """xyz ``[B,N,3]``, feats ``[B,N,d_points]`` ->
         (``[B,N,d_points]``, attn ``[B,N,k,d_model]``)."""
         d_points = feats.shape[-1]
-        _, knn_idx, knn_xyz = ops.knn_points(xyz, xyz, self.k)
+        _, knn_idx = ops.knn(xyz, xyz, self.k)
 
         pre = feats
         x = dense(self.d_model, name="fc1")(feats)
         q = dense(self.d_model, use_bias=False, name="w_qs")(x)
-        k_feat = ops.knn_gather(dense(self.d_model, use_bias=False, name="w_ks")(x), knn_idx)
-        v_feat = ops.knn_gather(dense(self.d_model, use_bias=False, name="w_vs")(x), knn_idx)
+        # ONE fused [xyz | K | V] row gather instead of three (gather cost
+        # is per-row on TPU; see ops/gather.py)
+        kv = jnp.concatenate(
+            [
+                xyz,
+                dense(self.d_model, use_bias=False, name="w_ks")(x),
+                dense(self.d_model, use_bias=False, name="w_vs")(x),
+            ],
+            axis=-1,
+        )
+        g = ops.knn_gather(kv, knn_idx)
+        knn_xyz = g[..., :3]
+        k_feat = g[..., 3 : 3 + self.d_model].astype(policy.compute_dtype())
+        v_feat = g[..., 3 + self.d_model :].astype(policy.compute_dtype())
 
         # positional encoding of neighbor offsets
         delta = xyz[:, :, None, :] - knn_xyz  # [B,N,k,3]
@@ -43,8 +56,10 @@ class TransformerLayer(nn.Module):
         attn = dense(self.d_model, name="fc_gamma_0")(attn)
         attn = nn.relu(attn)
         attn = dense(self.d_model, name="fc_gamma_1")(attn)
-        attn = nn.softmax(attn / jnp.sqrt(self.d_model), axis=-2)  # over k
+        # softmax + weighted reduction in fp32 even under a bf16 policy
+        # (the body's [N,k,d] traffic is the cost; the reduction is not)
+        attn = nn.softmax(policy.f32(attn) / jnp.sqrt(self.d_model), axis=-2)
 
-        res = jnp.sum(attn * (v_feat + pos), axis=2)  # [B,N,d_model]
-        out = dense(d_points, name="fc2")(res) + pre
+        res = jnp.sum(attn * policy.f32(v_feat + pos), axis=2)  # [B,N,d_model]
+        out = policy.f32(dense(d_points, name="fc2")(res)) + policy.f32(pre)
         return out, attn

@@ -23,7 +23,7 @@ from .distance import square_distance
 @functools.partial(jax.jit, static_argnums=(1, 4))
 def ball_query(
     radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
-    exact: bool = False,
+    exact: bool = False, sqrdists: jax.Array | None = None,
 ) -> jax.Array:
     """Fixed-budget radius search.
 
@@ -32,6 +32,9 @@ def ball_query(
       nsample: neighbor budget (static).
       xyz: ``[B, N, 3]`` all points.
       new_xyz: ``[B, S, 3]`` query centers.
+      sqrdists: optional precomputed ``[B, S, N]`` squared distances —
+        multi-scale grouping queries the same (xyz, new_xyz) pair at
+        several radii, and the O(S*N) matrix only needs computing once.
 
     Returns:
       ``[B, S, nsample]`` int32 indices.  Queries with fewer than
@@ -44,7 +47,10 @@ def ball_query(
     xyz = lax.stop_gradient(xyz)
     new_xyz = lax.stop_gradient(new_xyz)
     N = xyz.shape[1]
-    sqrdists = square_distance(new_xyz, xyz)  # [B, S, N]
+    if sqrdists is None:
+        sqrdists = square_distance(new_xyz, xyz)  # [B, S, N]
+    else:
+        sqrdists = lax.stop_gradient(sqrdists)
     arange = jnp.arange(N, dtype=jnp.float32)
     # smallest `nsample` candidate indices == first in-radius points.
     # float index values are exact below 2^24 points.

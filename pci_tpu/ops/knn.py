@@ -101,6 +101,12 @@ def knn(query: jax.Array, points: jax.Array, k: int, exact: bool = False):
       ``(sq_dists [B, S, k], idx [B, S, k])`` sorted ascending by distance.
       Distances carry no gradient (indices are integer); gather the points
       with :func:`knn_points` if you need differentiable neighbor coords.
+
+    Distance precision: on the TPU Pallas path the returned distances are
+    QUANTIZED (packed sort keys zero the mantissa LSBs that carry the
+    index, ~2^-13 relative at 16k keys); only the indices are
+    contract-exact.  Consumers that divide by or compare distances should
+    recompute them from ``idx`` (see ops/interpolate.py, ops/chamfer.py).
     """
     query = lax.stop_gradient(query)
     points = lax.stop_gradient(points)
@@ -162,7 +168,9 @@ def knn_points(query: jax.Array, points: jax.Array, k: int, exact: bool = False)
 
     Mirrors ``pytorch3d.ops.knn_points(..., return_nn=True)``:
     returns ``(sq_dists [B,S,k], idx [B,S,k], nn [B,S,k,C])`` where ``nn``
-    backpropagates into ``points``.
+    backpropagates into ``points``.  ``sq_dists`` inherit :func:`knn`'s
+    TPU quantization (~2^-13 relative) — recompute from ``nn`` if exact
+    values matter.
     """
     d, idx = knn(query, points, k, exact)
     nn = index_points(points, idx)

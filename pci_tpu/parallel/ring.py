@@ -84,9 +84,15 @@ def knn_sharded(
     rides the ring.  Queries are sharded too; indices returned are global.
 
     Returns ``(sq_dists [B, S, k], idx [B, S, k])`` with the same layout
-    as the inputs (point axis sharded).
+    as the inputs (point axis sharded).  Like ``ops.knn``, the returned
+    distances carry NO gradient (indices are integers); differentiable
+    consumers gather the points by ``idx`` and recompute (ops.knn_points
+    pattern) — gradients then match the single-device path.
     """
     from jax import shard_map
+
+    query = lax.stop_gradient(query)
+    points = lax.stop_gradient(points)
 
     spec = P(None, axis)
 

@@ -19,7 +19,8 @@ from .state import TrainState
 
 
 def make_interp_train_step(
-    model, optimizer: optax.GradientTransformation, remat: bool = False
+    model, optimizer: optax.GradientTransformation, remat: bool = False,
+    mesh=None,
 ) -> Callable:
     """Train step for interpolation models (ISAPCInet / PointINet2 style
     batches: forward/key/backward frame lists + t + gt).
@@ -31,7 +32,18 @@ def make_interp_train_step(
     ``remat=True`` rematerializes the forward pass in the backward
     (jax.checkpoint): ~2x activation-memory headroom for bigger
     batches/clouds at the cost of a second forward.
+
+    ``mesh``: a ``(data, points)`` mesh whose ``points`` axis is >1
+    switches the chamfer LOSS to the ring-exchange sharded kernel
+    (parallel.ring) — key shards ride the ICI ring via ppermute instead
+    of GSPMD all-gathering the [N, N] distance matrix.  Gradients match
+    the single-device loss (tests/test_parallel.py).
     """
+    ring_points = (
+        mesh is not None
+        and "points" in mesh.axis_names
+        and mesh.shape["points"] > 1
+    )
 
     def step(state: TrainState, batch, rng, momentum):
         def fwd(params, forward, keys, backward, t, ini, key):
@@ -51,7 +63,12 @@ def make_interp_train_step(
                 params, batch["forward"], batch["keys"], batch["backward"],
                 batch["t"], batch["ini"], rng,
             )
-            loss = ops.chamfer_distance(out, batch["gt"])
+            if ring_points:
+                from ..parallel.ring import chamfer_distance_sharded
+
+                loss = chamfer_distance_sharded(out, batch["gt"], mesh)
+            else:
+                loss = ops.chamfer_distance(out, batch["gt"])
             return loss, new_vars["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -215,6 +215,22 @@ class TestFusionHelpers:
             # budgeted clouds hold points
             assert (n_all[(k_all > 0)] > 0).all()
 
+    def test_multi_budgets_overflow_clips_k(self):
+        """Aligned budgets that overflow N clip middle clouds to n==0;
+        their k budget must be zeroed (reassigned to the last cloud), or
+        the CPU fallback would emit out-of-cloud duplicate neighbors."""
+        from pci_tpu.nn.fusion import _ALIGN, _multi_budgets
+
+        N, k = 2 * _ALIGN, 32
+        w = jnp.asarray([[0.45, 0.45, 0.45]], jnp.float32)
+        n_all, k_all = _multi_budgets(N, k, w)
+        n_all, k_all = np.asarray(n_all), np.asarray(k_all)
+        assert (n_all.sum(1) == N).all()
+        assert (k_all.sum(1) == k).all()
+        assert (k_all >= 0).all()
+        assert (k_all[n_all == 0] == 0).all()
+        assert (n_all[:, -1] >= _ALIGN).all()
+
     def test_composed_shuffle_merge_oracle(self):
         from pci_tpu.nn.fusion import _composed_shuffle_merge
 

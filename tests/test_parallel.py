@@ -57,3 +57,114 @@ class TestRingKnn:
             np.asarray(d_got), np.asarray(d_ref), rtol=1e-4, atol=1e-5
         )
         np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_ref))
+
+    def test_batched(self, rng):
+        mesh = make_mesh(n_data=1, n_points=8)
+        q, p = cloud(rng, B=3, N=256), cloud(rng, B=3, N=256)
+        d_ref, i_ref = ops.knn(q, p, 8, True)
+        d_got, i_got = knn_sharded(q, p, 8, mesh)
+        np.testing.assert_allclose(
+            np.asarray(d_got), np.asarray(d_ref), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_ref))
+
+    def test_k_exceeds_block(self, rng):
+        # 8 shards of 256 points -> n_block=32 < k=48: the running merge
+        # must accumulate across ring steps to fill all k slots
+        mesh = make_mesh(n_data=1, n_points=8)
+        q, p = cloud(rng, B=1, N=256), cloud(rng, B=1, N=256)
+        d_ref, i_ref = ops.knn(q, p, 48, True)
+        d_got, i_got = knn_sharded(q, p, 48, mesh)
+        np.testing.assert_allclose(
+            np.asarray(d_got), np.asarray(d_ref), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_ref))
+
+    def test_gradient_through_gathered_neighbors(self, rng):
+        # like ops.knn, raw sq_dists are gradient-free (integer indices);
+        # the differentiable path is gather-by-idx + recompute (the
+        # knn_points pattern).  Both paths must produce the same cotangent
+        # into query AND points.
+        mesh = make_mesh(n_data=1, n_points=8)
+        q, p = cloud(rng, B=1, N=256), cloud(rng, B=1, N=256)
+
+        def loss(x, y, use_ring):
+            if use_ring:
+                _, idx = knn_sharded(x, y, 4, mesh)
+            else:
+                _, idx = ops.knn(x, y, 4, True)
+            nn_pts = ops.index_points(y, idx)  # [B, S, k, 3]
+            d = jnp.sum((x[:, :, None, :] - nn_pts) ** 2, axis=-1)
+            return jnp.sum(d)
+
+        gq1, gp1 = jax.grad(lambda x, y: loss(x, y, False), (0, 1))(q, p)
+        gq2, gp2 = jax.grad(lambda x, y: loss(x, y, True), (0, 1))(q, p)
+        np.testing.assert_allclose(np.asarray(gq1), np.asarray(gq2), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gp1), np.asarray(gp2), rtol=1e-4, atol=1e-5)
+
+
+class TestShardedCompute:
+    """The sharded train-loss path must actually partition the O(N^2)
+    work (collective-permute ring) — not all-gather the full distance
+    matrix onto every chip (VERDICT r2 item 3c)."""
+
+    def test_ring_chamfer_hlo_has_permute_no_full_matrix(self, rng):
+        mesh = make_mesh(n_data=1, n_points=8)
+        B, N = 2, 512
+        a, b = cloud(rng, B=B, N=N), cloud(rng, B=B, N=N)
+        from pci_tpu.parallel import batch_sharding
+
+        sh = batch_sharding(mesh, shard_points=True)
+        a = jax.device_put(a, sh)
+        b = jax.device_put(b, sh)
+        fn = jax.jit(lambda x, y: chamfer_distance_sharded(x, y, mesh))
+        text = fn.lower(a, b).compile().as_text()
+        assert "collective-permute" in text
+        # the full [B, N, N] distance matrix must never materialize
+        assert f"f32[{B},{N},{N}]" not in text
+
+    def test_interp_train_step_ring_loss_matches(self, rng):
+        """make_interp_train_step(mesh=...) routes the chamfer loss over
+        the ring and matches the single-device loss on the same batch."""
+        from pci_tpu.models import ISAPCInet
+        from pci_tpu.parallel import shard_batch_pytree
+        from pci_tpu.train import (
+            create_train_state,
+            make_interp_train_step,
+            make_optimizer,
+        )
+
+        mesh = make_mesh(n_data=2, n_points=4)
+        B, N, field = 2, 256, 1
+        r = np.random.default_rng(5)
+
+        def mk():
+            return jnp.asarray(r.standard_normal((B, N, 3)).astype(np.float32))
+
+        batch = {
+            "forward": [mk()], "keys": [mk(), mk()], "backward": [mk()],
+            "t": jnp.full((B,), 0.4, jnp.float32), "gt": mk(),
+            "ini": jnp.zeros((B, N, 3), jnp.float32),
+        }
+        model = ISAPCInet(field=field, ff_out_c=16, tr_out_c=16)
+        rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+        variables = model.init(
+            rngs, batch["forward"], batch["keys"], batch["backward"],
+            batch["t"], batch["ini"], train=True,
+        )
+        opt = make_optimizer(1e-3, variables["params"])
+        losses = {}
+        for name, mesh_arg in (("single", None), ("ring", mesh)):
+            state = create_train_state(
+                variables["params"], variables["batch_stats"], opt
+            )
+            b = batch
+            if mesh_arg is not None:
+                state = jax.device_put(
+                    state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+                )
+                b = shard_batch_pytree(batch, mesh, shard_points=True)
+            step = jax.jit(make_interp_train_step(model, opt, mesh=mesh_arg))
+            _, metrics = step(state, b, jax.random.key(3), jnp.asarray(0.5))
+            losses[name] = float(metrics["loss"])
+        assert losses["ring"] == pytest.approx(losses["single"], rel=2e-4)
