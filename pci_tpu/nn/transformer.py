@@ -26,28 +26,34 @@ class TransformerLayer(nn.Module):
         """xyz ``[B,N,3]``, feats ``[B,N,d_points]`` ->
         (``[B,N,d_points]``, attn ``[B,N,k,d_model]``)."""
         d_points = feats.shape[-1]
-        _, knn_idx = ops.knn(xyz, xyz, self.k)
+        use_cells = ops.cells_eligible(xyz, self.k)
 
         pre = feats
         x = dense(self.d_model, name="fc1")(feats)
         q = dense(self.d_model, use_bias=False, name="w_qs")(x)
-        # ONE fused [xyz | K | V] row gather instead of three (gather cost
-        # is per-row on TPU; see ops/gather.py)
-        kv = jnp.concatenate(
-            [
-                xyz,
-                dense(self.d_model, use_bias=False, name="w_ks")(x),
-                dense(self.d_model, use_bias=False, name="w_vs")(x),
-            ],
-            axis=-1,
-        )
-        g = ops.knn_gather(kv, knn_idx)
-        knn_xyz = g[..., :3]
-        k_feat = g[..., 3 : 3 + self.d_model].astype(policy.compute_dtype())
-        v_feat = g[..., 3 + self.d_model :].astype(policy.compute_dtype())
+        k_proj = dense(self.d_model, use_bias=False, name="w_ks")(x)
+        v_proj = dense(self.d_model, use_bias=False, name="w_vs")(x)
+        if use_cells:
+            # large-N path: the cell-pruned kernel emits the neighbor
+            # offsets in-kernel (no [B,N,k,3] xyz gather, and the kNN
+            # itself prunes the O(N^2) distance tiles IVF-style)
+            knn_idx, resi = ops.knn_self_resi(xyz, self.k)
+            g = ops.knn_gather(
+                jnp.concatenate([k_proj, v_proj], axis=-1), knn_idx
+            )
+            delta = -resi  # query - neighbor, exact fp32
+        else:
+            _, knn_idx = ops.knn(xyz, xyz, self.k)
+            # ONE fused [xyz | K | V] row gather instead of three (gather
+            # cost is per-row on TPU; see ops/gather.py)
+            g = jnp.concatenate([xyz, k_proj, v_proj], axis=-1)
+            g = ops.knn_gather(g, knn_idx)
+            delta = xyz[:, :, None, :] - g[..., :3]  # [B,N,k,3]
+            g = g[..., 3:]
+        k_feat = g[..., : self.d_model].astype(policy.compute_dtype())
+        v_feat = g[..., self.d_model :].astype(policy.compute_dtype())
 
         # positional encoding of neighbor offsets
-        delta = xyz[:, :, None, :] - knn_xyz  # [B,N,k,3]
         pos = dense(self.d_model, name="fc_delta_0")(delta)
         pos = nn.relu(pos)
         pos = dense(self.d_model, name="fc_delta_1")(pos)

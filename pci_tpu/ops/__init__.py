@@ -15,11 +15,11 @@ from .chamfer import (
     nearest_neighbor_idx,
 )
 from .distance import pdist2squared, square_distance
-from .emd import emd, emd_assignment_dist, sinkhorn_emd
+from .emd import emd, emd_assignment_dist, emd_assignment_sparse, sinkhorn_emd
 from .fps import fps, fps_points
 from .gather import index_points, knn_gather
 from .interpolate import three_nn_interpolate
-from .knn import knn, knn_points, knn_prefix
+from .knn import cells_eligible, knn, knn_points, knn_prefix, knn_self_resi
 from .polyfit import polyfit_eval, polyfit_eval_xyz
 
 __all__ = [
@@ -34,12 +34,15 @@ __all__ = [
     "emd",
     "sinkhorn_emd",
     "emd_assignment_dist",
+    "emd_assignment_sparse",
     "fps",
     "fps_points",
     "index_points",
     "knn_gather",
     "three_nn_interpolate",
     "knn",
+    "knn_self_resi",
+    "cells_eligible",
     "knn_points",
     "knn_prefix",
     "polyfit_eval",

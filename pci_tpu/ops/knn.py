@@ -163,6 +163,58 @@ def knn_prefix(
     return _select_min_k(d, k, exact)
 
 
+# Below this size the flat Pallas kernel (2.1 ms @16k) beats the Morton
+# sort + chunk-ranking overhead of the cell-pruned kernel; above it the
+# flat kernel's O(S*N) distance tiles dominate (19.5 ms @64k) and IVF-style
+# pruning wins (see ops/pallas_kernels/knn_cells_tpu.py).
+_CELLS_MIN_N = 32768
+
+
+def cells_eligible(points: jax.Array, k: int) -> bool:
+    """True when :func:`knn_self_resi` will route to the cell-pruned
+    kernel (callers that have a cheaper fused-gather layout for the dense
+    path use this to branch at trace time)."""
+    return (
+        jax.default_backend() == "tpu"
+        and points.shape[-1] == 3
+        and points.shape[-2] >= _CELLS_MIN_N
+        and k <= 64
+    )
+
+
+def knn_self_resi(points: jax.Array, k: int):
+    """Self-kNN + exact neighbor-minus-query residuals.
+
+    The point-transformer's neighborhood pattern
+    (/root/reference/Utils/Layers.py:405-443: kNN + gather + ``q - knn_xyz``
+    offsets): on TPU at large N this routes to the cell-pruned kernel,
+    which emits the residuals IN-KERNEL (skipping the [B,N,k,3] xyz gather
+    entirely) and prunes the O(N^2) distance work IVF-style.
+
+    Args:
+      points: ``[B, N, 3]``.
+      k: neighbor count (static).
+
+    Returns:
+      ``(idx [B,N,k] int32, resi [B,N,k,3] fp32)`` with
+      ``resi = points[idx] - points[:, :, None]`` exact (not quantized).
+      No gradients flow (neighbor selection is non-differentiable; callers
+      re-gather via :func:`index_points` if they need diff-able coords).
+    """
+    if cells_eligible(points, k):
+        from .pallas_kernels.knn_cells_tpu import knn_cells
+
+        # candidate budget scales with N: 12 chunks cover 16k clouds at
+        # recall ~0.99; 64k needs 16 (measured on real LiDAR, tile=128)
+        m = 12 if points.shape[-2] <= 24576 else 16
+        _, idx, resi = knn_cells(points, points, k, m_chunks=m,
+                                 emit_resi=True)
+        return idx, resi
+    _, idx = knn(points, points, k)
+    nn_pts = index_points(lax.stop_gradient(points), idx)
+    return idx, nn_pts - lax.stop_gradient(points)[:, :, None, :]
+
+
 def knn_points(query: jax.Array, points: jax.Array, k: int, exact: bool = False):
     """kNN + differentiable gather of neighbor coordinates.
 

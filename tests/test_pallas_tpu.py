@@ -157,6 +157,107 @@ class TestFusionKnnExhaustion:
 
 
 @requires_tpu
+class TestKnnCells:
+    def test_recall_vs_exact(self, rng):
+        """Cell-pruned kNN: recall >= 0.97 on LiDAR-like clustered data,
+        idx already in original order, resi exact for the winners."""
+        from pci_tpu import ops
+        from pci_tpu.ops.pallas_kernels.knn_cells_tpu import knn_cells
+
+        # clustered cloud (worst case for uniform grids, the LiDAR shape)
+        centers = rng.uniform(-30, 30, (24, 3))
+        pts = np.concatenate(
+            [c + rng.standard_normal((512, 3)) for c in centers]
+        ).astype(np.float32)[None]  # [1, 12288, 3]
+        p = jnp.asarray(pts)
+        d_ref, i_ref = ops.knn(p, p, 16, True)
+        d, idx, resi = knn_cells(p, p, 16, emit_resi=True)
+        i_ref, idx = np.asarray(i_ref), np.asarray(idx)
+        # nearest neighbor: chunk containing the query itself is always
+        # selected (lower bound 0), so slot 0 is the query itself
+        assert (idx[..., 0] == i_ref[..., 0]).all()
+        recall = np.mean([
+            len(set(idx[0, i]) & set(i_ref[0, i])) / 16
+            for i in range(idx.shape[1])
+        ])
+        assert recall >= 0.97, recall
+        # residuals: exact neighbor-minus-query for emitted indices
+        nn = np.asarray(ops.index_points(p, jnp.asarray(idx)))
+        np.testing.assert_allclose(
+            np.asarray(resi), nn - pts[:, :, None, :], atol=1e-5
+        )
+        # quantized distances consistent with residuals
+        np.testing.assert_allclose(
+            np.asarray(d),
+            (np.asarray(resi) ** 2).sum(-1),
+            rtol=2e-3, atol=1e-4,
+        )
+
+    def test_cross_cloud_query(self, rng):
+        from pci_tpu import ops
+        from pci_tpu.ops.pallas_kernels.knn_cells_tpu import knn_cells
+
+        q = jnp.asarray(rng.uniform(-20, 20, (2, 700, 3)).astype(np.float32))
+        p = jnp.asarray(rng.uniform(-20, 20, (2, 5000, 3)).astype(np.float32))
+        _, i_ref = ops.knn(q, p, 8, True)
+        _, idx = knn_cells(q, p, 8)
+        i_ref, idx = np.asarray(i_ref), np.asarray(idx)
+        assert (idx[..., 0] == i_ref[..., 0]).all()
+        recall = np.mean([
+            len(set(idx[b, i]) & set(i_ref[b, i])) / 8
+            for b in range(2) for i in range(700)
+        ])
+        assert recall >= 0.97, recall
+
+
+@requires_tpu
+class TestFusionKnnTExtremes:
+    def test_zero_budget_segment_k1_or_k2_zero(self, rng):
+        """t=0 / t=1 in the fusion head drive one segment's budget to 0:
+        the whole k-block must come from the OTHER segment, with no
+        out-of-segment leakage and no garbage slots."""
+        from pci_tpu.ops.pallas_kernels import knn_fusion_adaptive
+
+        N, k, bucket = 4096, 32, 32
+        pts = jnp.asarray(rng.standard_normal((1, N, 3)).astype(np.float32) * 5)
+        split = jnp.asarray([N // 2], jnp.int32)
+        for k1 in (0, k):  # t=1 -> k1=0; t=0 -> k1=k
+            idx, resi = knn_fusion_adaptive(
+                pts, split, jnp.asarray([k1], jnp.int32), k, bucket,
+                emit_idx=True,
+            )
+            idx, resi = np.asarray(idx)[0], np.asarray(resi)[0]
+            if k1 == 0:
+                assert (idx >= N // 2).all(), "k1=0 must draw only from seg B"
+            else:
+                assert (idx < N // 2).all(), "k2=0 must draw only from seg A"
+            assert np.isfinite(resi).all() and np.abs(resi).max() < 1e3
+
+    def test_model_level_t_extremes(self, rng):
+        """PointsFusion via the fused TPU kernel at t≈0 and t≈1."""
+        from pci_tpu.nn.fusion import PointsFusion
+
+        fusion = PointsFusion((8,), sampling="random")
+        p1 = jnp.asarray(rng.standard_normal((1, 4096, 3)).astype(np.float32))
+        p2 = jnp.asarray(
+            100.0 + rng.standard_normal((1, 4096, 3)).astype(np.float32)
+        )
+        vars_ = fusion.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            p1, p2, 32, jnp.asarray([0.5]), train=False,
+        )
+        for t, near in ((0.0, 0.0), (1.0, 100.0)):
+            out = fusion.apply(
+                vars_, p1, p2, 32, jnp.asarray([t], jnp.float32),
+                train=False, rngs={"sample": jax.random.key(2)},
+            )
+            out = np.asarray(out)
+            assert np.isfinite(out).all()
+            # fused cloud must sit entirely on the selected side
+            assert abs(float(out.mean()) - near) < 5.0
+
+
+@requires_tpu
 class TestFusionKnnGrad:
     def test_vjp_matches_fixed_neighbor_gather(self, rng):
         """The kernel's custom VJP must produce the same gradient as the
