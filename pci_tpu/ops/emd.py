@@ -95,7 +95,8 @@ def emd_assignment_dist(
     Args:
       xyz1: ``[N, 3]``.
       xyz2: ``[N, 3]`` (same cardinality).
-      eps: final auction epsilon (optimality gap ~= N * eps).
+      eps: final auction epsilon, RELATIVE to the largest pairwise
+        squared distance (optimality gap ~= N * eps * max(D)).
       iters: total sweep budget, split across the scaling phases.
 
     Returns:
@@ -114,13 +115,16 @@ def _emd_forward_impl(xyz1, xyz2, eps, iters):
     m = xyz2.shape[0]
     D = square_distance(xyz1[None], xyz2[None])[0]  # [n, m]
 
-    # Single annealing loop: sweep at the current epsilon; the moment a
-    # complete matching exists, snapshot it, anneal eps 4x (down to the
-    # target), and re-open the assignment.  If the sweep budget runs out
-    # mid-phase we return the snapshot — the best *complete* matching seen
-    # — so the metric degrades gracefully instead of collapsing.
-    d_scale = jnp.maximum(jnp.max(D), 1e-6)
-    eps0 = d_scale * 0.25
+    # Costs are NORMALIZED by their max so ``eps`` is scale-relative
+    # (certificate: total cost within n * eps * d_scale of optimal).
+    # With absolute eps, real LiDAR (squared distances up to ~4e4 m^2)
+    # needed ~12 annealing phases to cross 7 decades and the sweep budget
+    # died in duplicate-heavy price wars (measured: 4096 pts never
+    # completed in 32k sweeps); normalized, the anneal path is fixed at
+    # 4 phases for any input scale.
+    d_scale = jnp.maximum(jnp.max(D), 1e-12)
+    D = D / d_scale
+    eps0 = jnp.asarray(0.25, D.dtype)
     eps_t = jnp.asarray(eps, D.dtype)
 
     def cond(state):
@@ -175,6 +179,275 @@ def _emd_bwd(eps, iters, res, g):
 
 
 emd_assignment_dist.defvjp(_emd_fwd, _emd_bwd)
+
+
+def _sparse_sweep(Dc, cidx, price, assign, owner, eps):
+    """One Jacobi auction sweep restricted to per-row candidate columns.
+
+    Dc ``[n,k]`` exact squared distances to the candidate columns
+    ``cidx [n,k]``; otherwise identical semantics to :func:`_auction_sweep`
+    (price scatter-max, lowest-row tie-break, single-bid-per-row), at
+    ``O(n*k)`` instead of ``O(n*m)`` per sweep.
+    """
+    n, k = Dc.shape
+    m = price.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)
+
+    bidding = assign < 0
+    V = Dc + price[cidx]  # [n, k]
+    loc1 = jnp.argmin(V, axis=-1).astype(jnp.int32)
+    v1 = jnp.take_along_axis(V, loc1[:, None], axis=-1)[:, 0]
+    j1 = jnp.take_along_axis(cidx, loc1[:, None], axis=-1)[:, 0]
+    V2 = jnp.where(
+        jnp.arange(k, dtype=jnp.int32)[None, :] == loc1[:, None], jnp.inf, V
+    )
+    v2 = jnp.min(V2, axis=-1)
+    incr = v2 - v1 + eps
+
+    bid = jnp.where(bidding, incr, -jnp.inf)
+    col_max = jnp.full((m,), -jnp.inf, dtype=Dc.dtype).at[j1].max(bid)
+    is_winner_bid = bidding & (bid == col_max[j1]) & jnp.isfinite(bid)
+    col_winner = (
+        jnp.full((m,), n, dtype=jnp.int32)
+        .at[j1]
+        .min(jnp.where(is_winner_bid, rows, n))
+    )
+    has_winner = col_winner < n
+
+    price = jnp.where(has_winner, price + col_max, price)
+    evicted = has_winner[assign.clip(0)] & (assign >= 0)
+    assign = jnp.where(evicted, -1, assign)
+    won_col = (
+        jnp.full((n,), -1, dtype=jnp.int32)
+        .at[col_winner]
+        .set(jnp.arange(m, dtype=jnp.int32), mode="drop")
+    )
+    assign = jnp.where(won_col >= 0, won_col, assign)
+    owner = jnp.where(has_winner, col_winner, owner)
+    return price, assign, owner
+
+
+def _emd_sparse_impl(xyz1, xyz2, eps, iters, k, rounds, gap_tol=None):
+    """kNN-restricted auction + global eps-CS validation rounds.
+
+    Phase structure (all static shapes, one jitted while_loop per phase):
+      1. candidates = kNN(k) of xyz1 into xyz2 (exact distances recomputed
+         from indices — the kernel's packed-key quantization contract);
+      2. epsilon-scaled Jacobi auction over the [n, k] candidate matrix —
+         each sweep is O(n*k) instead of O(n*m);
+      3. validation: ONE dense [n, m] pass computes every row's true
+         global best value at the current prices; rows whose assigned
+         value violates eps-complementary-slackness get their global
+         argmin column spliced into their candidate set (replacing their
+         worst candidate), are re-opened, and the auction resumes.
+    No violations => the matching satisfies GLOBAL eps-CS — the same
+    optimality certificate the dense auction gives (cost within n*eps of
+    optimal, Bertsekas 1988) at a fraction of the sweep cost.  The dense
+    matrix is touched ~``rounds`` times total instead of every sweep.
+    """
+    from .knn import knn
+
+    n = xyz1.shape[0]
+    m = xyz2.shape[0]
+    _, cidx0 = knn(xyz1[None], xyz2[None], k)
+    cidx0 = cidx0[0]  # [n, k]
+    diff = xyz1[:, None, :] - xyz2[cidx0]  # exact recompute from idx
+    Dc0 = jnp.sum(diff * diff, axis=-1)
+
+    # normalized costs: eps is relative to the max GLOBAL cost (same
+    # normalization as _emd_forward_impl; certificate n * eps * d_scale).
+    # The global max (not the candidate max) also bounds every value the
+    # validation pass can splice in, keeping normalized costs <= 1.
+    d2max = jnp.max(jnp.sum(xyz1 * xyz1, axis=-1)) + jnp.max(
+        jnp.sum(xyz2 * xyz2, axis=-1)
+    )
+    d_scale = jnp.maximum(2.0 * d2max, 1e-12)
+    Dc0 = Dc0 / d_scale
+    eps_t = jnp.asarray(eps, Dc0.dtype)
+    sweeps_per = jnp.int32(max(iters // max(rounds, 1), 1))
+
+    def auction_phase(carry):
+        """Run restricted sweeps (with eps annealing) until complete at
+        eps_t or the phase budget runs out."""
+        Dc, cidx, price, assign, owner, eps_cur, budget = carry
+
+        def cond(st):
+            s, eps_c, price, assign, owner = st
+            done = jnp.logical_and(eps_c <= eps_t, jnp.all(assign >= 0))
+            return jnp.logical_and(s < budget, jnp.logical_not(done))
+
+        def body(st):
+            s, eps_c, price, assign, owner = st
+            complete = jnp.all(assign >= 0)
+            anneal = jnp.logical_and(complete, eps_c > eps_t)
+            eps_c = jnp.where(anneal, jnp.maximum(eps_c * 0.25, eps_t), eps_c)
+            assign = jnp.where(anneal, -1, assign)
+            owner = jnp.where(anneal, -1, owner)
+            price, assign, owner = _sparse_sweep(
+                Dc, cidx, price, assign, owner, eps_c
+            )
+            return s + 1, eps_c, price, assign, owner
+
+        st = (jnp.int32(0), eps_cur, price, assign, owner)
+        _, eps_cur, price, assign, owner = lax.while_loop(cond, body, st)
+        return Dc, cidx, price, assign, owner, eps_cur
+
+    def round_body(state):
+        rnd, Dc, cidx, price, assign, owner, eps_cur, n_viol = state
+        Dc, cidx, price, assign, owner, eps_cur = auction_phase(
+            (Dc, cidx, price, assign, owner, eps_cur, sweeps_per)
+        )
+        # dense validation at current prices (the only [n, m] pass)
+        V = (
+            square_distance(xyz1[None], xyz2[None])[0] / d_scale
+            + price[None, :]
+        )
+        gmin = jnp.min(V, axis=-1)
+        garg = jnp.argmin(V, axis=-1).astype(jnp.int32)
+        a_safe = assign.clip(0, m - 1)
+        vassigned = (
+            jnp.sum((xyz1 - xyz2[a_safe]) ** 2, axis=-1) / d_scale
+            + price[a_safe]
+        )
+        tol = eps_cur * (1.0 + 1e-4) + 1e-6
+        viol = (assign < 0) | (vassigned > gmin + tol)
+        n_viol = jnp.sum(viol)
+        # splice the global argmin column over the row's worst candidate
+        Vc = Dc + price[cidx]
+        worst = jnp.argmax(Vc, axis=-1).astype(jnp.int32)
+        k_iota = jnp.arange(k, dtype=jnp.int32)[None, :]
+        put = viol[:, None] & (k_iota == worst[:, None])
+        cidx = jnp.where(put, garg[:, None], cidx)
+        dnew = jnp.sum((xyz1 - xyz2[garg]) ** 2, axis=-1) / d_scale
+        Dc = jnp.where(put, dnew[:, None], Dc)
+        # re-open violating rows (and free their columns)
+        freed = jnp.full((m,), False).at[a_safe].max(viol & (assign >= 0))
+        owner = jnp.where(freed, -1, owner)
+        assign = jnp.where(viol, -1, assign)
+        return rnd + 1, Dc, cidx, price, assign, owner, eps_cur, n_viol
+
+    def round_cond(state):
+        rnd, _, _, _, assign, _, eps_cur, n_viol = state
+        unresolved = (n_viol > 0) | jnp.any(assign < 0) | (eps_cur > eps_t)
+        return (rnd < rounds) & unresolved
+
+    init = (
+        jnp.int32(0), Dc0, cidx0,
+        jnp.zeros((m,), Dc0.dtype),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.full((m,), -1, jnp.int32),
+        jnp.asarray(0.25, Dc0.dtype),
+        jnp.int32(1),
+    )
+    _, Dc, cidx, price, assign, owner, eps_end, n_viol = lax.while_loop(
+        round_cond, round_body, init
+    )
+
+    # ---- dense finishing phase -------------------------------------
+    # Real LiDAR pairs have strong density mismatch: ~2-3% of the
+    # optimal edges are long-range (measured: p99 edge cost 300x p50)
+    # and NO kNN candidate set contains them — the restricted graph has
+    # no perfect matching and the sparse phase alone cannot complete.
+    # The sparse phase is a cheap warm start (prices + most assignments);
+    # the dense annealed auction finishes the stragglers on the full
+    # [n, m] matrix in a few dozen sweeps instead of running dense from
+    # scratch.
+    Dn = square_distance(xyz1[None], xyz2[None])[0] / d_scale
+    dense_budget = jnp.int32(max(iters // 4, 256))
+
+    def dcond(st):
+        sweeps, eps_c, price, assign, owner = st
+        done = jnp.logical_and(eps_c <= eps_t, jnp.all(assign >= 0))
+        return jnp.logical_and(sweeps < dense_budget, ~done)
+
+    def dbody(st):
+        sweeps, eps_c, price, assign, owner = st
+        complete = jnp.all(assign >= 0)
+        anneal = jnp.logical_and(complete, eps_c > eps_t)
+        eps_c = jnp.where(anneal, jnp.maximum(eps_c * 0.25, eps_t), eps_c)
+        assign = jnp.where(anneal, -1, assign)
+        owner = jnp.where(anneal, -1, owner)
+        price, assign, owner = _auction_sweep(Dn, price, assign, owner, eps_c)
+        return sweeps + 1, eps_c, price, assign, owner
+
+    _, eps_end, price, assign, owner = lax.while_loop(
+        dcond, dbody, (jnp.int32(0), eps_end, price, assign, owner)
+    )
+
+    # ---- duality-gap certificate (one dense pass) ------------------
+    # For the assignment LP (min sum c_ij x_ij): with v_j = -p_j and
+    # u_i = min_j (c_ij + p_j), (u, v) is dual-feasible, so
+    #   LB = sum_i min_j (c_ij + p_j) - sum_j p_j
+    # lower-bounds the optimum.  The measured primal-dual gap certifies
+    # THIS run on THIS input — far stronger than the worst-case n*eps
+    # bound (which for eps=1e-3 at n=4096 is ~40% of a typical real-pair
+    # cost and useless).
+    safe_assign = assign.clip(0, m - 1)
+    dist = jnp.sum((xyz1 - xyz2[safe_assign]) ** 2, axis=-1)
+    converged = jnp.all(assign >= 0)
+    if gap_tol is not None:
+        # Optional MEASURED primal-dual gap gate.  The auction's own
+        # eps-CS bound (cost <= opt + n * eps * d_scale) already holds
+        # whenever the matching is complete — every phase re-opens all
+        # rows, so the final phase certifies every row at eps_t, and
+        # later price rises on non-assigned columns only raise the row's
+        # global min.  The measured gap is strictly tighter ONLY when the
+        # dual prices are strong; on heavy-tailed real LiDAR costs the
+        # dual stays weak (measured LB/opt 0.37 at 1024 pts, and
+        # c-transform coordinate ascent is a fixed point after one step —
+        # it cannot be tightened post-hoc), so this gate is opt-in.
+        primal_n = jnp.sum(dist) / d_scale
+        lb_n = (
+            jnp.sum(jnp.min(Dn + price[None, :], axis=-1)) - jnp.sum(price)
+        )
+        gap_rel = (primal_n - lb_n) / jnp.maximum(primal_n, 1e-12)
+        converged = converged & (gap_rel <= gap_tol)
+    return dist, safe_assign, converged
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def emd_assignment_sparse(
+    xyz1: jax.Array, xyz2: jax.Array, eps: float = 0.001,
+    iters: int = 8192, k: int = 48, rounds: int = 8,
+    gap_tol=None,
+):
+    """kNN-restricted auction EMD with a global eps-CS certificate.
+
+    Same contract as :func:`emd_assignment_dist` (per-point squared
+    distances, assignment, converged flag; fixed-assignment VJP matching
+    /root/reference/Utils/Utils.py:84-92) but each sweep costs ``O(n*k)``
+    instead of ``O(n*m)`` and the dense matrix is touched only ~``rounds``
+    times for validation.  A dense annealed finishing phase completes the
+    stragglers whose optimal partner no kNN candidate set contains
+    (real LiDAR density mismatch makes the restricted graph infeasible —
+    measured ~2-3%% of optimal edges are long-range).
+
+    ``converged=True`` == complete matching under GLOBAL eps-CS, i.e.
+    cost <= optimal + n * eps * max(D) — the same certificate the dense
+    auction gives.  Pass ``gap_tol`` to additionally require a MEASURED
+    relative primal-dual gap below it (only achievable on well-matched
+    pairs; see the in-line note in ``_emd_sparse_impl``).
+
+    Opt-in: NOT routed from :func:`emd`.  On severely density-mismatched
+    real LiDAR pairs the restricted auction may fail to complete within
+    the sweep budget (Jacobi price wars among ~10%% duplicate points
+    serialize one winner per column per sweep) — check ``converged``.
+    """
+    return _emd_sparse_impl(xyz1, xyz2, eps, iters, k, rounds, gap_tol)
+
+
+def _emd_sparse_fwd(xyz1, xyz2, eps, iters, k, rounds, gap_tol):
+    out = _emd_sparse_impl(xyz1, xyz2, eps, iters, k, rounds, gap_tol)
+    return out, (xyz1, xyz2, out[1])
+
+
+def _emd_sparse_bwd(eps, iters, k, rounds, gap_tol, res, g):
+    xyz1, xyz2, assign = res
+    grad1 = 2.0 * (xyz1 - xyz2[assign]) * g[0][:, None]
+    return grad1, jnp.zeros_like(xyz2)
+
+
+emd_assignment_sparse.defvjp(_emd_sparse_fwd, _emd_sparse_bwd)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -275,7 +548,14 @@ def emd(pc1: jax.Array, pc2: jax.Array, eps: float = 0.001, iters: int = 2048):
     Returns:
       scalar — mean per-point assigned squared distance * 36
       (the reference's scale, Utils/Utils.py:118).
+
+    Always routes through the dense annealed auction: the kNN-restricted
+    auction (:func:`emd_assignment_sparse`) is ~10x cheaper per sweep but
+    measured NON-CONVERGENT on real LiDAR pairs (density mismatch makes
+    the restricted graph infeasible; uniq 3320/4096 after 32k sweeps) —
+    callers that can check its ``converged`` flag may opt in explicitly.
     """
+
     def one(pair):
         a, b = pair
         dist, _, _ = emd_assignment_dist(a, b, eps, iters)

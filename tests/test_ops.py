@@ -212,6 +212,54 @@ class TestEmd:
         v = float(ops.emd(a, a, eps=1e-5, iters=1024))
         assert v == pytest.approx(0.0, abs=1e-3)
 
+    def test_sparse_matches_scipy_at_1024(self, rng):
+        """kNN-restricted auction: same n*eps certificate at 1024 pts."""
+        from scipy.optimize import linear_sum_assignment
+
+        a = make_cloud(rng, 1, 1024, scale=1.0)[0]
+        b = (a + 0.05 * rng.standard_normal((1024, 3))).astype(np.float32)
+        dist, assign, converged = ops.emd_assignment_sparse(
+            jnp.asarray(a), jnp.asarray(b), eps=1e-5, iters=16384, k=16
+        )
+        got = float(jnp.sum(dist))
+        D = ref.square_distance_np(a[None], b[None])[0]
+        ri, ci = linear_sum_assignment(D)
+        want = float(D[ri, ci].sum())
+        assert bool(converged)
+        assert got <= want * 1.03 + 1e-3
+        assert got >= want - 1e-3
+        assert len(set(np.asarray(assign).tolist())) == 1024
+
+    def test_sparse_independent_clouds(self, rng):
+        """Independent (non-drifted) clouds need the validation/expansion
+        rounds — the optimal partner is often outside the initial kNN."""
+        from scipy.optimize import linear_sum_assignment
+
+        a = make_cloud(rng, 1, 256, scale=1.0)[0]
+        b = make_cloud(rng, 1, 256, scale=1.0)[0]
+        dist, _, converged = ops.emd_assignment_sparse(
+            jnp.asarray(a), jnp.asarray(b), eps=1e-4, iters=16384,
+            k=16, rounds=16,
+        )
+        got = float(jnp.sum(dist))
+        D = ref.square_distance_np(a[None], b[None])[0]
+        ri, ci = linear_sum_assignment(D)
+        want = float(D[ri, ci].sum())
+        assert bool(converged)
+        assert got <= want * 1.05 + 1e-3
+        assert got >= want - 1e-3
+
+    def test_sparse_grad_fixed_assignment(self, rng):
+        a = jnp.asarray(make_cloud(rng, 1, 128, scale=1.0)[0])
+        b = jnp.asarray(make_cloud(rng, 1, 128, scale=1.0)[0])
+
+        def f(x):
+            d, _, _ = ops.emd_assignment_sparse(x, b, 1e-3, 4096, 16, 8)
+            return jnp.sum(d)
+
+        g = jax.grad(f)(a)
+        assert np.isfinite(np.asarray(g)).all()
+
     def test_grad_fixed_assignment(self, rng):
         a = jnp.asarray(make_cloud(rng, 1, 16, scale=1.0)[0])
         b = jnp.asarray(make_cloud(rng, 1, 16, scale=1.0)[0])
@@ -299,3 +347,67 @@ class TestSinkhornEmd:
         v = float(ops.sinkhorn_emd(a, a))
         # rounding + tiny final eps leave only a small positive floor
         assert v < 36.0 * 0.01
+
+
+class TestKnnSelfResi:
+    def test_matches_knn_plus_gather(self, rng):
+        from pci_tpu import ops
+
+        pts = jnp.asarray(rng.standard_normal((2, 256, 3)).astype(np.float32))
+        idx, resi = ops.knn_self_resi(pts, 8)
+        _, i_ref = ops.knn(pts, pts, 8)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(i_ref))
+        nn = np.asarray(ops.index_points(pts, idx))
+        np.testing.assert_allclose(
+            np.asarray(resi), nn - np.asarray(pts)[:, :, None, :], atol=1e-6
+        )
+        # self is always slot 0 with zero residual
+        assert (np.asarray(idx)[..., 0] == np.arange(256)[None]).all()
+        np.testing.assert_allclose(np.asarray(resi)[..., 0, :], 0.0, atol=1e-6)
+
+
+class TestMortonCells:
+    """CPU-side helpers of the cell-pruned kNN kernel
+    (ops/pallas_kernels/knn_cells_tpu.py)."""
+
+    def test_morton_codes_locality(self, rng):
+        from pci_tpu.ops.pallas_kernels.knn_cells_tpu import morton_codes
+
+        pts = jnp.asarray(rng.uniform(-10, 10, (2, 512, 3)).astype(np.float32))
+        codes = np.asarray(morton_codes(pts))
+        assert codes.min() >= 0  # int32-positive (30-bit codes)
+        # points quantized to the same cell share a code
+        same = jnp.tile(pts[:, :1], (1, 4, 1))
+        c2 = np.asarray(morton_codes(same))
+        assert (c2 == c2[:, :1]).all()
+        # sorted-by-code neighbors are spatially closer than random pairs
+        order = np.argsort(codes[0])
+        sorted_pts = np.asarray(pts[0])[order]
+        adj = np.linalg.norm(np.diff(sorted_pts, axis=0), axis=1).mean()
+        rand = np.linalg.norm(
+            sorted_pts - sorted_pts[rng.permutation(512)], axis=1
+        ).mean()
+        assert adj < 0.5 * rand
+
+    def test_sort_chunks_and_lower_bounds(self, rng):
+        from pci_tpu.ops.pallas_kernels.knn_cells_tpu import (
+            _box_lb,
+            _chunk_boxes,
+            _sort_by_morton,
+        )
+
+        pts = jnp.asarray(rng.uniform(-5, 5, (1, 300, 3)).astype(np.float32))
+        sorted_pts, perm = _sort_by_morton(pts, n_pad=212)  # pad to 2 x 256
+        assert sorted_pts.shape == (1, 512, 3) and perm.shape == (1, 512)
+        # permutation covers all original rows; padding ids == N
+        assert set(np.asarray(perm[0, :300])) == set(range(300))
+        assert (np.asarray(perm[0, 300:]) == 300).all()
+        lo, hi = _chunk_boxes(sorted_pts, 256)
+        assert (np.asarray(lo) <= np.asarray(hi)).all()
+        lb = np.asarray(_box_lb(lo, hi, lo, hi))  # chunk-vs-self grid
+        assert lb.shape == (1, 2, 2)
+        assert (np.diag(lb[0]) == 0).all()  # self lower bound is 0
+        # lower bound never exceeds any true pairwise distance
+        d01 = ((np.asarray(sorted_pts[0, :256, None])
+                - np.asarray(sorted_pts[0, None, 256:])) ** 2).sum(-1)
+        assert lb[0, 0, 1] <= d01.min() + 1e-4
