@@ -24,3 +24,74 @@ def test_isapci_window():
     out = interp(mk(), mk(), 0.3, context=([mk()], [mk()]))
     assert out.shape == (96, 3)
     assert np.isfinite(out).all()
+
+
+def test_isapci_context_required():
+    rng = np.random.default_rng(2)
+    mk = lambda: rng.standard_normal((64, 3)).astype(np.float32)
+    interp = Interpolator.isapci(field=1, npoints=64, ff_out_c=16, tr_out_c=16)
+    import pytest
+
+    with pytest.raises(AssertionError, match="context"):
+        interp(mk(), mk(), 0.5)  # field=1 but no context frames
+
+
+def test_prep_branches():
+    """_prep: subsample when too big, pad when too small, passthrough at
+    exact size and for pre-batched [1, N, 3] input."""
+    rng = np.random.default_rng(3)
+    interp = Interpolator.pointinet(npoints=64)
+
+    big = rng.standard_normal((100, 3)).astype(np.float32)
+    small = rng.standard_normal((40, 5)).astype(np.float32)
+    exact = rng.standard_normal((64, 3)).astype(np.float32)
+    batched = exact[None]
+
+    for cloud in (big, small, exact, batched):
+        out = np.asarray(interp._prep(cloud))
+        assert out.shape == (1, 64, 3)
+        assert np.isfinite(out).all()
+    # exact-size input must pass through unsampled
+    np.testing.assert_array_equal(np.asarray(interp._prep(exact))[0], exact)
+    # the pad branch keeps every original point at least once
+    padded = np.asarray(interp._prep(small))[0]
+    for row in small[:, :3]:
+        assert (np.abs(padded - row).sum(-1) < 1e-6).any()
+
+
+def test_checkpoint_compose_constructors():
+    """ckpt= and flow_ckpt= loading paths against the committed trained
+    checkpoints (weights are point-count independent)."""
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal((128, 3)).astype(np.float32)
+    b = a + 0.1 * rng.standard_normal((128, 3)).astype(np.float32)
+
+    plain = Interpolator.pointinet(npoints=128)
+    composed = Interpolator.pointinet(
+        npoints=128,
+        ckpt="results/checkpoints/pointinet_synth16k",
+        flow_ckpt="results/checkpoints/flownet3d_synth16k",
+    )
+    # loaded weights must differ from random init...
+    p0 = plain.variables["params"]["fusion"]
+    p1 = composed.variables["params"]["fusion"]
+    import jax
+
+    diffs = jax.tree_util.tree_map(
+        lambda x, y: float(np.abs(np.asarray(x) - np.asarray(y)).max()), p0, p1
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 1e-3
+    # ...and still produce a finite interpolation
+    out = composed(a, b, 0.5)
+    assert out.shape == (128, 3) and np.isfinite(out).all()
+
+
+def test_t_extremes_through_serving():
+    """t=0 / t=1 drive the adaptive fusion budgets to k1=k / k1=0."""
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((96, 3)).astype(np.float32)
+    b = a + 0.05 * rng.standard_normal((96, 3)).astype(np.float32)
+    interp = Interpolator.pointinet(npoints=96)
+    for t in (0.0, 1.0):
+        out = interp(a, b, t)
+        assert out.shape == (96, 3) and np.isfinite(out).all()
