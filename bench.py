@@ -95,6 +95,12 @@ def main():
     import jax.numpy as jnp
 
     from pci_tpu.models import PointINet
+    from pci_tpu.nn import policy
+
+    # bf16 activations are the production setting (VERDICT r2 item 1);
+    # the accuracy gate below validates the SAME policy the timing uses,
+    # so a bf16-induced CD regression fails the bench instead of shipping.
+    policy.set_compute_dtype(os.environ.get("PCI_TPU_COMPUTE_DTYPE", "bfloat16"))
 
     npoints = 16384
     base = "/root/reference/Demos/20230508test/demo_data/Inputs/"

@@ -25,6 +25,26 @@ from .mlp import PointMLP, dense
 from .norm import BatchNorm
 
 
+def gather_split(xyz, feats, idx):
+    """Gather ``[xyz | feats]`` neighbor rows, split by dtype under bf16.
+
+    fp32 policy: ONE fused row gather (the round-2 recipe — per-row cost
+    dominates when everything is fp32 anyway).  bf16 policy: geometry
+    rides its own 3-channel fp32 gather while features ride bf16 —
+    measured @64k x k16: fused 131ch fp32 14.2 ms vs split 3ch fp32 +
+    128ch bf16 2.6 ms.  A mixed concat BEFORE the gather would promote
+    the whole block to fp32 and silently forfeit the bandwidth win.
+
+    Returns ``(g_xyz [B,S,K,3] fp32, g_feats [B,S,K,D] compute dtype)``.
+    """
+    if policy.compute_dtype() == jnp.bfloat16:
+        g_xyz = ops.index_points(xyz, idx)
+        g_feats = ops.index_points(feats.astype(jnp.bfloat16), idx)
+        return g_xyz, g_feats
+    g = ops.index_points(jnp.concatenate([xyz, feats], -1), idx)
+    return g[..., :3], g[..., 3:]
+
+
 def fps_start(module: nn.Module, xyz, train: bool):
     """Per-sample random FPS start index during training (reference
     parity: Pointnet2Utils.py:76 uses ``torch.randint``); deterministic 0
@@ -57,10 +77,9 @@ class SetConv(nn.Module):
             xyz, self.npoint, fps_start(self, xyz, train), exact=self.fps_exact
         )
         idx = ops.ball_query(self.radius, self.nsample, xyz, new_xyz)
-        # one fused [xyz | feats] row gather (gather cost is per-row on TPU)
-        g = ops.index_points(jnp.concatenate([xyz, feats], -1), idx)
-        g_xyz = g[..., :3] - new_xyz[:, :, None, :]
-        h = policy.cast_concat([g_xyz, g[..., 3:]])  # [B,S,K,3+D]
+        g_xyz, g_feats = gather_split(xyz, feats, idx)
+        g_xyz = g_xyz - new_xyz[:, :, None, :]
+        h = policy.cast_concat([g_xyz, g_feats])  # [B,S,K,3+D]
         h = PointMLP(self.mlp, norm="batch")(h, train=train, momentum=momentum)
         return new_xyz, jnp.max(h, axis=2)
 
@@ -78,12 +97,12 @@ class FlowEmbedding(nn.Module):
     @nn.compact
     def __call__(self, xyz1, xyz2, feats1, feats2, *, train=False, momentum=0.1):
         _, idx = ops.knn(xyz1, xyz2, self.nsample)
-        g = ops.index_points(jnp.concatenate([xyz2, feats2], -1), idx)
-        g_xyz = g[..., :3] - xyz1[:, :, None, :]
+        g_xyz, g_feats = gather_split(xyz2, feats2, idx)
+        g_xyz = g_xyz - xyz1[:, :, None, :]
         f1 = jnp.broadcast_to(
-            feats1[:, :, None, :], g.shape[:3] + (feats1.shape[-1],)
+            feats1[:, :, None, :], g_feats.shape[:3] + (feats1.shape[-1],)
         )
-        h = policy.cast_concat([g_xyz, g[..., 3:], f1])
+        h = policy.cast_concat([g_xyz, g_feats, f1])
         h = PointMLP(self.mlp, norm="batch")(h, train=train, momentum=momentum)
         return jnp.max(h, axis=2)
 
@@ -105,9 +124,9 @@ class SetUpConv(nn.Module):
         self, coarse_xyz, dense_xyz, coarse_feats, dense_feats, *, train=False, momentum=0.1
     ):
         _, idx = ops.knn(dense_xyz, coarse_xyz, self.nsample)
-        g = ops.index_points(jnp.concatenate([coarse_xyz, coarse_feats], -1), idx)
-        g_xyz = g[..., :3] - dense_xyz[:, :, None, :]
-        h = policy.cast_concat([g_xyz, g[..., 3:]])
+        g_xyz, g_feats = gather_split(coarse_xyz, coarse_feats, idx)
+        g_xyz = g_xyz - dense_xyz[:, :, None, :]
+        h = policy.cast_concat([g_xyz, g_feats])
         if self.mlp1:
             h = PointMLP(self.mlp1, norm="batch", name="conv1")(
                 h, train=train, momentum=momentum

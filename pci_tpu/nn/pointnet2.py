@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from .. import ops
 from . import policy
-from .layers import fps_start
+from .layers import fps_start, gather_split
 from .mlp import PointMLP, dense
 from .norm import group_norm
 
@@ -48,9 +48,9 @@ class SetAbstractionMsg(nn.Module):
             K = self.nsample_list[i]
             idx = ops.ball_query(radius, K, xyz, new_xyz, sqrdists=sqrdists)
             if feats is not None:
-                g = ops.index_points(jnp.concatenate([xyz, feats], -1), idx)
-                g_xyz = g[..., :3] - new_xyz[:, :, None, :]
-                h = policy.cast_concat([g[..., 3:], g_xyz])
+                g_xyz, g_feats = gather_split(xyz, feats, idx)
+                g_xyz = g_xyz - new_xyz[:, :, None, :]
+                h = policy.cast_concat([g_feats, g_xyz])
             else:
                 h = ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
             h = PointMLP(self.mlp_list[i], norm="group", groups=4, name=f"scale{i}")(

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from .. import ops
 from . import policy
+from .layers import gather_split
 from .mlp import dense
 
 
@@ -44,12 +45,12 @@ class TransformerLayer(nn.Module):
             delta = -resi  # query - neighbor, exact fp32
         else:
             _, knn_idx = ops.knn(xyz, xyz, self.k)
-            # ONE fused [xyz | K | V] row gather instead of three (gather
-            # cost is per-row on TPU; see ops/gather.py)
-            g = jnp.concatenate([xyz, k_proj, v_proj], axis=-1)
-            g = ops.knn_gather(g, knn_idx)
-            delta = xyz[:, :, None, :] - g[..., :3]  # [B,N,k,3]
-            g = g[..., 3:]
+            # fused [xyz | K | V] row gather under fp32; split by dtype
+            # under bf16 (see nn.layers.gather_split)
+            knn_xyz, g = gather_split(
+                xyz, jnp.concatenate([k_proj, v_proj], axis=-1), knn_idx
+            )
+            delta = xyz[:, :, None, :] - knn_xyz  # [B,N,k,3]
         k_feat = g[..., : self.d_model].astype(policy.compute_dtype())
         v_feat = g[..., self.d_model :].astype(policy.compute_dtype())
 
