@@ -113,6 +113,21 @@ def emd_assignment_dist(
 def _emd_forward_impl(xyz1, xyz2, eps, iters):
     n = xyz1.shape[0]
     m = xyz2.shape[0]
+
+    # On TPU at scale, route to the blocked Gauss-Seidel auction kernel
+    # (pallas_kernels/auction_tpu.py): no [n, m] matrix in HBM, n/256
+    # price rounds per pass, serial chain-chasing for the displacement
+    # tail.  Measured @16k real LiDAR: complete annealed matching in
+    # ~2.2 s vs 94 s NOT-converged for the Jacobi sweeps below.  The
+    # XLA path remains the reference implementation (and the CPU path —
+    # the kernel's interpret mode is too slow at scale).
+    if n == m and n >= 1024 and jax.default_backend() == "tpu":
+        from .pallas_kernels.auction_tpu import emd_auction_tpu
+
+        return emd_auction_tpu(
+            xyz1, xyz2, eps, max_passes=min(max(iters // 8, 64), 1024)
+        )
+
     D = square_distance(xyz1[None], xyz2[None])[0]  # [n, m]
 
     # Costs are NORMALIZED by their max so ``eps`` is scale-relative

@@ -204,11 +204,13 @@ def knn_self_resi(points: jax.Array, k: int):
     if cells_eligible(points, k):
         from .pallas_kernels.knn_cells_tpu import knn_cells
 
-        # candidate budget scales with N: 12 chunks cover 16k clouds at
-        # recall ~0.99; 64k needs 16 (measured on real LiDAR, tile=128)
+        # tuned on real 64k LiDAR (benchmarks/bench_knn_cells.py r3 A/B):
+        # tile=256/M=16 -> recall 0.991 @ 11.9 ms vs tile=128's 0.993 @
+        # 16.9 ms — per-tile overhead dominates at deep grids, and the
+        # AABB tightening from 256 -> 128 buys only +0.002 recall
         m = 12 if points.shape[-2] <= 24576 else 16
         _, idx, resi = knn_cells(points, points, k, m_chunks=m,
-                                 emit_resi=True)
+                                 emit_resi=True, tile=256)
         return idx, resi
     _, idx = knn(points, points, k)
     nn_pts = index_points(lax.stop_gradient(points), idx)

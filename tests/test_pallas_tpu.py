@@ -324,3 +324,91 @@ class TestFpsPallas:
         # interleaved must be much closer to FPS than to random sampling
         assert cov_inter < 4 * cov_exact
         assert cov_inter < 0.5 * cov_rand
+
+
+@requires_tpu
+class TestAuctionTpu:
+    """Blocked Gauss-Seidel auction EMD (ops/pallas_kernels/auction_tpu.py)."""
+
+    def test_vs_scipy_drifted(self, rng):
+        from scipy.optimize import linear_sum_assignment
+
+        from pci_tpu.ops.pallas_kernels.auction_tpu import emd_auction_tpu
+
+        a = (rng.standard_normal((1024, 3)) * 20).astype(np.float32)
+        b = (a + 0.1 * rng.standard_normal((1024, 3))).astype(np.float32)
+        dist, assign, conv = emd_auction_tpu(
+            jnp.asarray(a), jnp.asarray(b), 1e-5, 512
+        )
+        got = float(jnp.sum(dist))
+        D = ((a[:, None, :].astype(np.float64) - b[None]) ** 2).sum(-1)
+        ri, ci = linear_sum_assignment(D)
+        want = float(D[ri, ci].sum())
+        assert bool(conv)
+        assert len(set(np.asarray(assign).tolist())) == 1024  # permutation
+        assert got <= want * 1.02 + 1e-3
+        assert got >= want - 1e-3
+
+    def test_independent_clouds_converge(self, rng):
+        """Hard case: independent clouds force long displacement chains
+        (the serial chase kernel's job)."""
+        from scipy.optimize import linear_sum_assignment
+
+        from pci_tpu.ops.pallas_kernels.auction_tpu import emd_auction_tpu
+
+        a = (rng.standard_normal((1024, 3)) * 20).astype(np.float32)
+        b = (rng.standard_normal((1024, 3)) * 20).astype(np.float32)
+        dist, assign, conv = emd_auction_tpu(
+            jnp.asarray(a), jnp.asarray(b), 1e-5, 1024
+        )
+        got = float(jnp.sum(dist))
+        D = ((a[:, None, :].astype(np.float64) - b[None]) ** 2).sum(-1)
+        ri, ci = linear_sum_assignment(D)
+        want = float(D[ri, ci].sum())
+        assert bool(conv)
+        assert len(set(np.asarray(assign).tolist())) == 1024
+        assert got <= want * 1.02 + 1e-3
+
+    def test_duplicate_heavy(self, rng):
+        """~25% exact duplicates (the real-LiDAR price-war shape): must
+        still complete with a valid permutation."""
+        from pci_tpu.ops.pallas_kernels.auction_tpu import emd_auction_tpu
+
+        base = (rng.standard_normal((768, 3)) * 10).astype(np.float32)
+        a = np.concatenate([base, base[:256]], 0)
+        b = (a[rng.permutation(1024)] + 0.05
+             * rng.standard_normal((1024, 3))).astype(np.float32)
+        dist, assign, conv = emd_auction_tpu(
+            jnp.asarray(a), jnp.asarray(b), 1e-3, 512
+        )
+        assert bool(conv)
+        assert len(set(np.asarray(assign).tolist())) == 1024
+
+    def test_routed_from_emd_assignment_dist(self, rng):
+        """ops.emd_assignment_dist at n>=1024 on TPU = the kernel path."""
+        from pci_tpu import ops
+
+        a = (rng.standard_normal((1024, 3)) * 20).astype(np.float32)
+        b = (a + 0.1 * rng.standard_normal((1024, 3))).astype(np.float32)
+        dist, assign, conv = ops.emd_assignment_dist(
+            jnp.asarray(a), jnp.asarray(b), 1e-4, 2048
+        )
+        assert bool(conv)
+        # exact per-point distances re-derivable from the assignment
+        nn = b[np.asarray(assign)]
+        np.testing.assert_allclose(
+            np.asarray(dist), ((a - nn) ** 2).sum(-1), rtol=1e-5, atol=1e-5
+        )
+
+    def test_grad_fixed_assignment(self, rng):
+        from pci_tpu import ops
+
+        a = jnp.asarray((rng.standard_normal((1024, 3))).astype(np.float32))
+        b = jnp.asarray((rng.standard_normal((1024, 3))).astype(np.float32))
+
+        def f(x):
+            d, _, _ = ops.emd_assignment_dist(x, b, 1e-3, 1024)
+            return jnp.sum(d)
+
+        g = jax.grad(f)(a)
+        assert np.isfinite(np.asarray(g)).all()
