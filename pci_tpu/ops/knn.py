@@ -108,10 +108,25 @@ def knn(query: jax.Array, points: jax.Array, k: int, exact: bool = False):
     contract-exact.  Consumers that divide by or compare distances should
     recompute them from ``idx`` (see ops/interpolate.py, ops/chamfer.py).
     """
-    query = lax.stop_gradient(query)
-    points = lax.stop_gradient(points)
+    # preserve object identity for the self-kNN case: knn_cells keys its
+    # shared-sort/forced-cover-chunk path on ``query is points``, and two
+    # separate stop_gradient calls would produce distinct tracers
+    if query is points:
+        query = points = lax.stop_gradient(points)
+    else:
+        query = lax.stop_gradient(query)
+        points = lax.stop_gradient(points)
     N = points.shape[1]
     if not exact and _use_pallas(points, k):
+        if N >= _CELLS_MIN_N and k <= 64 and query is points:
+            # cell-pruned kernel, SELF-kNN only: 64k k=32 on real LiDAR
+            # 9.6 ms / recall 0.966 vs the flat kernel's 19.5 ms / 0.945
+            # (bucket 64).  Cross-cloud stays on the flat kernel —
+            # measured recall 0.81 at 16k->64k (separate Morton sorts,
+            # no covering-chunk guarantee).
+            from .pallas_kernels.knn_cells_tpu import knn_cells
+
+            return knn_cells(query, points, k, m_chunks=16, tile=256)
         from .pallas_kernels import knn_pallas
 
         # larger buckets above 32k keys keep the VMEM candidate buffer
