@@ -108,8 +108,8 @@ class ISAPCInet(nn.Module):
             outputer = Outputer(name="outputer")
             ff = ffab(flow_fwd, **kw)
             bf = ffab(flow_bwd, **kw)
-            rf, _ = tr_f(flow_fwd, ff)
-            rb, _ = tr_b(flow_bwd, bf)
+            rf, _ = tr_f(flow_fwd, ff, train=train)
+            rb, _ = tr_b(flow_bwd, bf, train=train)
             net_fwd = outputer(rf)
             net_bwd = outputer(rb)
         else:
@@ -155,8 +155,8 @@ class ISAPCInet(nn.Module):
 
             tr_f = TransformerLayer(self.tr_out_c, 16, name="flow_tr_forward")
             tr_b = TransformerLayer(self.tr_out_c, 16, name="flow_tr_backward")
-            rf, _ = tr_f(f_cloud, ff)  # [B, 2f*N, ff_out_c]
-            rb, _ = tr_b(b_cloud, bf)
+            rf, _ = tr_f(f_cloud, ff, train=train)  # [B, 2f*N, ff_out_c]
+            rb, _ = tr_b(b_cloud, bf, train=train)
 
             # chunk-major channel fold: [B, 2f*N, C] -> [B, N, 2f*C]
             rf = rf.reshape(B, n2f, N, self.ff_out_c)

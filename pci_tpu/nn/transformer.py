@@ -10,6 +10,7 @@ input feature space.  Returns (features, attention) like the reference
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .. import ops
@@ -23,34 +24,71 @@ class TransformerLayer(nn.Module):
     k: int
 
     @nn.compact
-    def __call__(self, xyz, feats):
+    def __call__(self, xyz, feats, *, train: bool = False):
         """xyz ``[B,N,3]``, feats ``[B,N,d_points]`` ->
-        (``[B,N,d_points]``, attn ``[B,N,k,d_model]``)."""
+        (``[B,N,d_points]``, attn ``[B,N,k,d_model]``).
+
+        On TPU at eval the attention tail runs as ONE fused Pallas
+        kernel (ops/pallas_kernels/attention_tpu.py) and ``attn`` is
+        returned as ``None`` — materializing the [B,N,k,d] maps is the
+        cost the kernel exists to remove.  ``train=True`` (or CPU) keeps
+        the XLA expression, which defines the gradients.
+        """
         d_points = feats.shape[-1]
         use_cells = ops.cells_eligible(xyz, self.k)
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and not train
+            and xyz.shape[1] % 512 == 0
+            and self.d_model % 8 == 0
+        )
 
         pre = feats
         x = dense(self.d_model, name="fc1")(feats)
         q = dense(self.d_model, use_bias=False, name="w_qs")(x)
         k_proj = dense(self.d_model, use_bias=False, name="w_ks")(x)
         v_proj = dense(self.d_model, use_bias=False, name="w_vs")(x)
+        kv = jnp.concatenate([k_proj, v_proj], axis=-1)
         if use_cells:
             # large-N path: the cell-pruned kernel emits the neighbor
             # offsets in-kernel (no [B,N,k,3] xyz gather, and the kNN
             # itself prunes the O(N^2) distance tiles IVF-style)
             knn_idx, resi = ops.knn_self_resi(xyz, self.k)
-            g = ops.knn_gather(
-                jnp.concatenate([k_proj, v_proj], axis=-1), knn_idx
-            )
+            g = ops.knn_gather(kv, knn_idx)
             delta = -resi  # query - neighbor, exact fp32
         else:
             _, knn_idx = ops.knn(xyz, xyz, self.k)
             # fused [xyz | K | V] row gather under fp32; split by dtype
             # under bf16 (see nn.layers.gather_split)
-            knn_xyz, g = gather_split(
-                xyz, jnp.concatenate([k_proj, v_proj], axis=-1), knn_idx
-            )
+            knn_xyz, g = gather_split(xyz, kv, knn_idx)
             delta = xyz[:, :, None, :] - knn_xyz  # [B,N,k,3]
+        if use_fused:
+            # one Pallas kernel for the whole [B,N,k,d] tail: pos MLP,
+            # gamma MLP, fp32 softmax over k, weighted V+pos reduction.
+            # Params are materialized by dummy Dense calls so the tree
+            # stays checkpoint-identical to the XLA expression below.
+            from ..ops.pallas_kernels.attention_tpu import (
+                fused_vector_attention,
+            )
+
+            dm = self.d_model
+            zero3 = jnp.zeros((1, 3), q.dtype)
+            zerod = jnp.zeros((1, dm), q.dtype)
+            _ = dense(dm, name="fc_delta_0")(zero3)
+            _ = dense(dm, name="fc_delta_1")(zerod)
+            _ = dense(dm, name="fc_gamma_0")(zerod)
+            _ = dense(dm, name="fc_gamma_1")(zerod)
+            p = self.variables["params"]
+            res = fused_vector_attention(
+                q, g, delta,
+                p["fc_delta_0"]["kernel"], p["fc_delta_0"]["bias"],
+                p["fc_delta_1"]["kernel"], p["fc_delta_1"]["bias"],
+                p["fc_gamma_0"]["kernel"], p["fc_gamma_0"]["bias"],
+                p["fc_gamma_1"]["kernel"], p["fc_gamma_1"]["bias"],
+            )
+            out = policy.f32(dense(d_points, name="fc2")(res)) + policy.f32(pre)
+            return out, None
+
         k_feat = g[..., : self.d_model].astype(policy.compute_dtype())
         v_feat = g[..., self.d_model :].astype(policy.compute_dtype())
 

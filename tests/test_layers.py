@@ -275,6 +275,61 @@ class TestTransformer:
         )
 
 
+class TestFusedAttention:
+    def test_kernel_matches_reference_math(self, rng):
+        """fused_vector_attention (interpret mode) vs plain-jnp tail math.
+
+        Mirrors the XLA expression in nn/transformer.py:96-108 with the
+        kernel's own dtype contract (bf16 q/K/V, fp32 delta/weights,
+        fp32 accumulation + softmax).
+        """
+        from pci_tpu.ops.pallas_kernels.attention_tpu import (
+            fused_vector_attention,
+        )
+
+        B, N, k, d = 1, 512, 4, 16
+        f32 = np.float32
+        q = rng.standard_normal((B, N, d)).astype(f32)
+        g = rng.standard_normal((B, N, k, 2 * d)).astype(f32)
+        delta = rng.standard_normal((B, N, k, 3)).astype(f32)
+        ws = {
+            n: rng.standard_normal(s).astype(f32) * 0.3
+            for n, s in (
+                ("wd0", (3, d)), ("wd1", (d, d)),
+                ("wg0", (d, d)), ("wg1", (d, d)),
+            )
+        }
+        bs = {n: rng.standard_normal(d).astype(f32) * 0.1
+              for n in ("bd0", "bd1", "bg0", "bg1")}
+
+        out = fused_vector_attention(
+            jnp.asarray(q), jnp.asarray(g), jnp.asarray(delta),
+            ws["wd0"], bs["bd0"], ws["wd1"], bs["bd1"],
+            ws["wg0"], bs["bg0"], ws["wg1"], bs["bg1"],
+            interpret=True,
+        )
+
+        # reference math with the kernel's bf16 input rounding
+        qb = jnp.asarray(q).astype(jnp.bfloat16).astype(jnp.float32)
+        gb = jnp.asarray(g).astype(jnp.bfloat16).astype(jnp.float32)
+        kf, vf = np.asarray(gb[..., :d]), np.asarray(gb[..., d:])
+        relu = lambda x: np.maximum(x, 0.0)
+        pos = relu(delta @ ws["wd0"] + bs["bd0"]) @ ws["wd1"] + bs["bd1"]
+        a = (
+            relu(
+                (np.asarray(qb)[:, :, None, :] - kf + pos) @ ws["wg0"]
+                + bs["bg0"]
+            )
+            @ ws["wg1"] + bs["bg1"]
+        )
+        a = a / np.sqrt(d)
+        e = np.exp(a - a.max(axis=2, keepdims=True))
+        attn = e / e.sum(axis=2, keepdims=True)
+        ref = np.sum(attn * (vf + pos), axis=2)
+
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2, rtol=2e-2)
+
+
 class TestHeads:
     def test_tnet_softmax(self, rng):
         tnet = pnn.Tnet(field=2)

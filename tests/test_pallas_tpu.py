@@ -453,3 +453,24 @@ class TestModelLevelAccuracyTpu:
         # bench gate thresholds (calibrated on the committed checkpoint):
         # fp32 exact-path eval CD 0.167; approx TPU path must stay close
         assert cd < 0.25 and cd < 0.92 * cd_id, (cd, cd_id)
+
+
+@requires_tpu
+class TestFusedAttentionTpu:
+    def test_transformer_fused_matches_xla_path(self, rng):
+        """TransformerLayer train=False (fused Pallas tail) vs train=True
+        (XLA expression) on the same params/inputs — no BN in the block,
+        so train only gates the kernel routing."""
+        from pci_tpu import nn as pnn
+
+        tr = pnn.TransformerLayer(64, 16)
+        xyz = jnp.asarray(rng.standard_normal((1, 512, 3)).astype(np.float32) * 4)
+        feats = jnp.asarray(rng.standard_normal((1, 512, 64)).astype(np.float32))
+        vars_ = tr.init(jax.random.key(0), xyz, feats, train=True)
+        ref, attn = tr.apply(vars_, xyz, feats, train=True)
+        out, none_attn = tr.apply(vars_, xyz, feats, train=False)
+        assert none_attn is None  # fused path skips the [B,N,k,d] maps
+        assert attn is not None
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-2, rtol=3e-2
+        )
