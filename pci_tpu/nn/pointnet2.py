@@ -39,14 +39,16 @@ class SetAbstractionMsg(nn.Module):
         new_xyz = ops.fps_points(
             xyz, self.npoint, fps_start(self, xyz, train), exact=self.fps_exact
         )
-        # one O(S*N) distance matrix shared by every radius scale, and one
+        # all radius scales in one pass: the streamed TPU kernel never
+        # materializes the O(S*N) matrix (CPU: one shared matrix); one
         # fused [xyz | feats] gather per scale instead of two row gathers
         # (gather cost is per-row on TPU; see ops/gather.py)
-        sqrdists = ops.square_distance(new_xyz, xyz)
+        idx_list = ops.ball_query_multi(
+            self.radius_list, self.nsample_list, xyz, new_xyz
+        )
         outs = []
         for i, radius in enumerate(self.radius_list):
-            K = self.nsample_list[i]
-            idx = ops.ball_query(radius, K, xyz, new_xyz, sqrdists=sqrdists)
+            idx = idx_list[i]
             if feats is not None:
                 g_xyz, g_feats = gather_split(xyz, feats, idx)
                 g_xyz = g_xyz - new_xyz[:, :, None, :]

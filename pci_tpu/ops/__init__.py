@@ -6,7 +6,7 @@ CUDA/C++ (pytorch3d kNN + chamfer, PyTorchEMD auction, Open3D FPS) plus its
 pure-torch primitives, re-designed for XLA/MXU.
 """
 
-from .ball import ball_query
+from .ball import ball_query, ball_query_multi
 from .chamfer import (
     chamfer_distance,
     chamfer_loss_cf,
@@ -24,6 +24,7 @@ from .polyfit import polyfit_eval, polyfit_eval_xyz
 
 __all__ = [
     "ball_query",
+    "ball_query_multi",
     "chamfer_distance",
     "chamfer_loss_cf",
     "chamfer_per_sample",

@@ -20,6 +20,42 @@ from jax import lax
 from .distance import square_distance
 
 
+def _pallas_eligible(xyz, new_xyz, nsamples) -> bool:
+    """Route to the streamed kernel when the [S, N] matrix is worth
+    skipping (N >= 1024; the kernel pads to its own tile grain)."""
+    N = xyz.shape[1]
+    return (
+        jax.default_backend() == "tpu"
+        and N >= 1024
+        and max(nsamples) <= 128
+    )
+
+
+def ball_query_multi(radius_list, nsample_list, xyz, new_xyz):
+    """Multi-scale ball query: one ``[B, S, K_s]`` per (radius, K).
+
+    On TPU (eligible shapes) all scales share ONE streamed Pallas pass
+    over the keys — no ``[S, N]`` matrix (pallas_kernels/ball_tpu.py);
+    elsewhere the scales share one precomputed distance matrix.
+    """
+    if _pallas_eligible(xyz, new_xyz, nsample_list):
+        from .pallas_kernels.ball_tpu import ball_query_pallas, finish_ball_idx
+
+        outs = ball_query_pallas(
+            lax.stop_gradient(xyz), lax.stop_gradient(new_xyz),
+            jnp.asarray(radius_list, jnp.float32), tuple(nsample_list),
+        )
+        N = xyz.shape[1]
+        return [finish_ball_idx(i, N) for i in outs]
+    sqrdists = square_distance(
+        lax.stop_gradient(new_xyz), lax.stop_gradient(xyz)
+    )
+    return [
+        ball_query(r, k, xyz, new_xyz, sqrdists=sqrdists)
+        for r, k in zip(radius_list, nsample_list)
+    ]
+
+
 @functools.partial(jax.jit, static_argnums=(1, 4))
 def ball_query(
     radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
@@ -47,6 +83,17 @@ def ball_query(
     xyz = lax.stop_gradient(xyz)
     new_xyz = lax.stop_gradient(new_xyz)
     N = xyz.shape[1]
+    if sqrdists is None and not exact and _pallas_eligible(
+        xyz, new_xyz, (nsample,)
+    ):
+        # streamed TPU kernel — exact semantics, no [S, N] matrix
+        from .pallas_kernels.ball_tpu import ball_query_pallas, finish_ball_idx
+
+        (idx,) = ball_query_pallas(
+            xyz, new_xyz, jnp.stack([jnp.asarray(radius, jnp.float32)]),
+            (nsample,),
+        )
+        return finish_ball_idx(idx, N)
     if sqrdists is None:
         sqrdists = square_distance(new_xyz, xyz)  # [B, S, N]
     else:

@@ -119,6 +119,64 @@ class TestBallQuery:
             assert s in hits or (d[s, hits[0]] <= 0.5**2 + 1e-6)
 
 
+class TestBallPallas:
+    """Interpret-mode checks of the streamed kernel (ball_tpu.py) against
+    the exact XLA path — same first-K-in-index-order semantics."""
+
+    def test_multi_scale_matches_exact(self, rng):
+        from pci_tpu.ops.pallas_kernels.ball_tpu import (
+            ball_query_pallas,
+            finish_ball_idx,
+        )
+
+        B, N, S = 2, 512, 128
+        x = jnp.asarray(make_cloud(rng, B, N, scale=1.0))
+        c = jnp.asarray(make_cloud(rng, B, S, scale=1.0))
+        radii, ks = (0.3, 0.6), (4, 8)
+        outs = ball_query_pallas(
+            x, c, jnp.asarray(radii), ks, interpret=True
+        )
+        for r, K, raw in zip(radii, ks, outs):
+            got = np.asarray(finish_ball_idx(raw, N))
+            want = np.asarray(ops.ball_query(r, K, x, c, exact=True))
+            np.testing.assert_array_equal(got, want)
+
+    def test_unaligned_shapes_padded(self, rng):
+        """Real protocol sizes (16000 pts) are not tile-aligned — the
+        wrapper pads keys with far rows and queries by repetition."""
+        from pci_tpu.ops.pallas_kernels.ball_tpu import (
+            ball_query_pallas,
+            finish_ball_idx,
+        )
+
+        B, N, S = 1, 500, 100
+        x = jnp.asarray(make_cloud(rng, B, N, scale=1.0))
+        c = jnp.asarray(make_cloud(rng, B, S, scale=1.0))
+        (raw,) = ball_query_pallas(x, c, jnp.asarray([0.5]), (8,),
+                                   interpret=True)
+        got = np.asarray(finish_ball_idx(raw, N))
+        want = np.asarray(ops.ball_query(0.5, 8, x, c, exact=True))
+        np.testing.assert_array_equal(got, want)
+
+    def test_no_hit_and_overflow_slots(self, rng):
+        from pci_tpu.ops.pallas_kernels.ball_tpu import (
+            ball_query_pallas,
+            finish_ball_idx,
+        )
+
+        B, N, S = 1, 256, 128
+        x = jnp.asarray(make_cloud(rng, B, N, scale=1.0))
+        # half the queries far away (no hits), half at the origin cluster
+        c = np.asarray(make_cloud(rng, B, S, scale=0.05))
+        c[0, :64] += 100.0
+        c = jnp.asarray(c)
+        (raw,) = ball_query_pallas(x, c, jnp.asarray([2.0]), (8,),
+                                   interpret=True)
+        got = np.asarray(finish_ball_idx(raw, N))
+        want = np.asarray(ops.ball_query(2.0, 8, x, c, exact=True))
+        np.testing.assert_array_equal(got, want)
+
+
 class TestChamfer:
     def test_matches_numpy(self, rng):
         a = make_cloud(rng, 3, 100)
