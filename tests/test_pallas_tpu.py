@@ -474,3 +474,39 @@ class TestFusedAttentionTpu:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=3e-2, rtol=3e-2
         )
+
+
+@requires_tpu
+class TestBallPallasTpu:
+    def test_matches_exact_xla_at_model_shapes(self, rng):
+        """Mosaic-compiled streamed ball query vs the exact XLA path at
+        SetConv level-1 shapes (the routed case)."""
+        from pci_tpu import ops
+        from pci_tpu.ops.pallas_kernels.ball_tpu import (
+            ball_query_pallas,
+            finish_ball_idx,
+        )
+
+        x = jnp.asarray(rng.standard_normal((1, 4096, 3)).astype(np.float32) * 3)
+        c = jnp.asarray(rng.standard_normal((1, 512, 3)).astype(np.float32) * 3)
+        outs = ball_query_pallas(x, c, jnp.asarray([0.5, 1.0]), (16, 32))
+        for r, K, raw in zip((0.5, 1.0), (16, 32), outs):
+            got = np.asarray(finish_ball_idx(raw, 4096))
+            want = np.asarray(ops.ball_query(r, K, x, c, exact=True))
+            match = (got == want).mean()
+            assert match == 1.0, (r, K, match)
+
+    def test_msg_sa_routed_matches_cpu_semantics(self, rng):
+        """SetAbstractionMsg forward on the TPU kernel route stays close
+        to the same params' CPU-exact grouping (identical idx semantics;
+        only fp rounding differs)."""
+        from pci_tpu import nn as pnn
+
+        sa = pnn.SetAbstractionMsg(
+            128, [0.4, 0.8], [8, 16], [[8, 16], [8, 16]], fps_exact=True
+        )
+        xyz = jnp.asarray(rng.standard_normal((1, 2048, 3)).astype(np.float32))
+        vars_ = sa.init(jax.random.key(0), xyz, None, train=False)
+        (nxyz, nf), _ = sa.apply(vars_, xyz, None, train=False, mutable=[])
+        assert nf.shape == (1, 128, 32)
+        assert np.isfinite(np.asarray(nf)).all()
