@@ -39,7 +39,6 @@ class TransformerLayer(nn.Module):
         use_fused = (
             jax.default_backend() == "tpu"
             and not train
-            and xyz.shape[1] % 512 == 0
             and self.d_model % 8 == 0
         )
 

@@ -90,10 +90,22 @@ def fused_vector_attention(
     q ``[B, N, d]``; g ``[B, N, k, 2d]`` gathered ``[K | V]``;
     delta ``[B, N, k, 3]`` neighbor offsets (``query - neighbor``, same
     input the XLA expression feeds fc_delta).
-    N must be a multiple of 512 (callers pad); d a multiple of 8.
+    N is padded to the 512-query grain here (zero rows: the softmax of
+    an all-zero tile is uniform — finite — and the rows are sliced off);
+    d must be a multiple of 8.
     """
     B, N, d = q.shape
     k = g.shape[2]
+    n_pad = (-N) % TQN
+    if n_pad:
+        q = jnp.pad(q, ((0, 0), (0, n_pad), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, n_pad), (0, 0), (0, 0)))
+        delta = jnp.pad(delta, ((0, 0), (0, n_pad), (0, 0), (0, 0)))
+        out = fused_vector_attention(
+            q, g, delta, wd0, bd0, wd1, bd1, wg0, bg0, wg1, bg1,
+            interpret,
+        )
+        return out[:, :N]
     assert N % TQN == 0, N
     biases = [b.reshape(1, -1).astype(jnp.float32)
               for b in (bd0, bd1, bg0, bg1)]

@@ -329,6 +329,34 @@ class TestFusedAttention:
 
         np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2, rtol=2e-2)
 
+    def test_unaligned_n_padded(self, rng):
+        """N not a multiple of the 512-query grain (real protocol: the
+        2fN flow cloud at 16000 pts is 32000 for field=1) — the wrapper
+        zero-pads and slices."""
+        from pci_tpu.ops.pallas_kernels.attention_tpu import (
+            fused_vector_attention,
+        )
+
+        B, k, d = 1, 4, 8
+        f32 = np.float32
+        ws = [rng.standard_normal(s).astype(f32) * 0.3
+              for s in ((3, d), (d, d), (d, d), (d, d))]
+        bs = [rng.standard_normal(d).astype(f32) * 0.1 for _ in range(4)]
+        N_big, N = 512, 320
+        q = rng.standard_normal((B, N_big, d)).astype(f32)
+        g = rng.standard_normal((B, N_big, k, 2 * d)).astype(f32)
+        dl = rng.standard_normal((B, N_big, k, 3)).astype(f32)
+
+        def run(n):
+            return np.asarray(fused_vector_attention(
+                jnp.asarray(q[:, :n]), jnp.asarray(g[:, :n]),
+                jnp.asarray(dl[:, :n]),
+                ws[0], bs[0], ws[1], bs[1], ws[2], bs[2], ws[3], bs[3],
+                interpret=True,
+            ))
+
+        np.testing.assert_allclose(run(N), run(N_big)[:, :N], rtol=1e-5)
+
 
 class TestHeads:
     def test_tnet_softmax(self, rng):
