@@ -50,7 +50,7 @@ TK = 256  # key rows per while-loop tile
 def _ball_kernel(r2_ref, q_ref, p_ref, *out_refs, ks, n):
     """Grid: (B, S // TQ).
 
-    r2_ref [1, 8] f32 squared radii (first len(ks) live); q_ref
+    r2_ref [len(ks)] f32 scalar-prefetch squared radii; q_ref
     [1, 3, TQ]; p_ref [1, 3, N] resident keys; outs per scale
     [1, TQ, K_s] int32 (value N where the slot never filled).
     """
@@ -92,7 +92,7 @@ def _ball_kernel(r2_ref, q_ref, p_ref, *out_refs, ks, n):
         for s in range(n_scales):
             counts, acc = state[1 + s]
             K = ks[s]
-            mask = (d <= r2_ref[0, s]).astype(f32)  # [TK, TQ]
+            mask = (d <= r2_ref[s]).astype(f32)  # [TK, TQ]
             incl = lax.dot_general(
                 tri, mask, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
@@ -155,22 +155,21 @@ def ball_query_pallas(xyz, new_xyz, radii, ks, interpret=False):
             [new_xyz,
              jnp.broadcast_to(new_xyz[:, :1], (B, s_pad, 3))], axis=1
         )
-    r2 = jnp.zeros((1, 8), jnp.float32)
-    r2 = r2.at[0, : len(ks)].set(jnp.asarray(radii, jnp.float32) ** 2)
+    r2 = jnp.asarray(radii, jnp.float32).reshape(len(ks)) ** 2
     q_t = jnp.swapaxes(new_xyz, 1, 2)  # [B, 3, S + s_pad]
     p_t = jnp.swapaxes(xyz, 1, 2)  # [B, 3, N + n_pad]
 
     Np, Sp = N + n_pad, S + s_pad
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(B, Sp // TQ),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, 3, TQ), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((1, 3, Np), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 3, TQ), lambda b, i, *_: (b, 0, i)),
+            pl.BlockSpec((1, 3, Np), lambda b, i, *_: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, TQ, K), lambda b, i: (b, i, 0)) for K in ks
+            pl.BlockSpec((1, TQ, K), lambda b, i, *_: (b, i, 0))
+            for K in ks
         ],
     )
     outs = pl.pallas_call(
