@@ -72,10 +72,44 @@ class SetConv(nn.Module):
     @nn.compact
     def __call__(self, xyz, feats, *, train: bool = False, momentum=0.1):
         """xyz ``[B,N,3]``, feats ``[B,N,D]`` -> (new_xyz ``[B,S,3]``,
-        new_feats ``[B,S,C']``)."""
+        new_feats ``[B,S,C']``).
+
+        On TPU at eval the whole ball-group + MLP + max tail runs as ONE
+        fused Pallas kernel with BatchNorm folded into the weights
+        (ops/pallas_kernels/setconv_tpu.py).  ``train=True`` (or CPU)
+        keeps the XLA expression, which defines gradients and batch
+        statistics.  The param tree is identical either way (the fused
+        branch materializes it via a dummy PointMLP call).
+        """
         new_xyz = ops.fps_points(
             xyz, self.npoint, fps_start(self, xyz, train), exact=self.fps_exact
         )
+        if (
+            jax.default_backend() == "tpu"
+            and not train
+            and self.nsample <= 128
+        ):
+            from ..ops.pallas_kernels.setconv_tpu import (
+                fold_bn_layers,
+                setconv_fused,
+            )
+
+            cin = 3 + feats.shape[-1]
+            dummy = jnp.zeros((1, cin), policy.compute_dtype())
+            _ = PointMLP(self.mlp, norm="batch")(dummy, train=False)
+            p = self.variables["params"]["PointMLP_0"]
+            st = self.variables["batch_stats"]["PointMLP_0"]
+            n = len(self.mlp)
+            layers = fold_bn_layers(
+                [p[f"Dense_{i}"] for i in range(n)],
+                [p[f"BatchNorm_{i}"] for i in range(n)],
+                [st[f"BatchNorm_{i}"] for i in range(n)],
+            )
+            pooled = setconv_fused(
+                xyz, feats, new_xyz, self.radius, self.nsample,
+                layers, n, True,
+            )
+            return new_xyz, pooled
         idx = ops.ball_query(self.radius, self.nsample, xyz, new_xyz)
         g_xyz, g_feats = gather_split(xyz, feats, idx)
         g_xyz = g_xyz - new_xyz[:, :, None, :]

@@ -400,3 +400,73 @@ class TestPointnet2:
         out = ffab.apply(vars_, xyz, train=False)
         assert out.shape == (1, N, 32)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestFusedSetConv:
+    def _fold(self, variables, n):
+        from pci_tpu.ops.pallas_kernels.setconv_tpu import fold_bn_layers
+
+        p = variables["params"]["PointMLP_0"]
+        st = variables["batch_stats"]["PointMLP_0"]
+        return fold_bn_layers(
+            [p[f"Dense_{i}"] for i in range(n)],
+            [p[f"BatchNorm_{i}"] for i in range(n)],
+            [st[f"BatchNorm_{i}"] for i in range(n)],
+        )
+
+    def test_kernel_matches_xla_eval_path(self, rng):
+        """setconv_fused (interpret) vs the SetConv XLA eval path with
+        the same params — exercises selection, pad-with-first, BN fold,
+        and the transposed MLP chain in one comparison."""
+        from pci_tpu.ops.pallas_kernels.setconv_tpu import setconv_fused
+
+        sc = pnn.SetConv(64, 0.6, 8, (16, 16, 32))
+        xyz = cloud(rng, 2, 512)
+        feats = cloud(rng, 2, 512, 5, scale=1.0)
+        variables = sc.init(jax.random.key(0), xyz, feats, train=False)
+        # non-trivial running stats so the fold is actually tested
+        variables = jax.tree_util.tree_map(
+            lambda x: x + 0.05 * jnp.arange(x.size, dtype=x.dtype).reshape(x.shape)
+            if x.ndim == 1 else x,
+            variables,
+        )
+        new_xyz, ref = sc.apply(variables, xyz, feats, train=False)
+        got = setconv_fused(
+            xyz, feats, new_xyz, 0.6, 8,
+            self._fold(variables, 3), 3, True, True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4
+        )
+
+    def test_empty_neighborhood_takes_row0(self, rng):
+        """Queries with no in-radius key must read global row 0
+        (ops/ball.py contract: all-empty queries clip to index 0)."""
+        from pci_tpu.ops.pallas_kernels.setconv_tpu import setconv_fused
+
+        sc = pnn.SetConv(4, 0.2, 4, (8, 8))
+        xyz = cloud(rng, 1, 256, scale=5.0)
+        feats = cloud(rng, 1, 256, 2, scale=1.0)
+        variables = sc.init(jax.random.key(1), xyz, feats, train=False)
+        far = jnp.full((1, 4, 3), 80.0)  # far from every key
+        got = setconv_fused(
+            xyz, feats, far, 0.2, 4, self._fold(variables, 2), 2,
+            True, True,
+        )
+        # manual: every slot = row 0
+        p = variables["params"]["PointMLP_0"]
+        st = variables["batch_stats"]["PointMLP_0"]
+        h = jnp.concatenate(
+            [xyz[:, :1] - far[:, :, None, :][:, :, 0],
+             jnp.broadcast_to(feats[:, :1], (1, 4, 2))], -1)
+        x = h
+        for i in range(2):
+            d = p[f"Dense_{i}"]
+            b = p[f"BatchNorm_{i}"]
+            s = st[f"BatchNorm_{i}"]
+            x = x @ d["kernel"] + d["bias"]
+            x = (x - s["mean"]) / jnp.sqrt(s["var"] + 1e-3)
+            x = jnp.maximum(x * b["scale"] + b["bias"], 0.0)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(x), atol=2e-4, rtol=2e-4
+        )
