@@ -45,6 +45,31 @@ def gather_split(xyz, feats, idx):
     return g[..., :3], g[..., 3:]
 
 
+def _knnconv_ok(k_xyz, train: bool) -> bool:
+    """Route a kNN-grouped stage to the fused eval kernel
+    (ops/pallas_kernels/knnconv_tpu.py): TPU, eval, and a key cloud
+    small enough to sit VMEM-resident."""
+    return (
+        jax.default_backend() == "tpu"
+        and not train
+        and k_xyz.shape[1] <= 2048
+    )
+
+
+def _fold_pointmlp(module: nn.Module, name: str, n: int):
+    """Folded ``(WT, b, ...)`` layers of a batch-norm PointMLP submodule
+    (eval running stats -> affine; setconv_tpu.fold_bn_layers)."""
+    from ..ops.pallas_kernels.setconv_tpu import fold_bn_layers
+
+    p = module.variables["params"][name]
+    st = module.variables["batch_stats"][name]
+    return fold_bn_layers(
+        [p[f"Dense_{i}"] for i in range(n)],
+        [p[f"BatchNorm_{i}"] for i in range(n)],
+        [st[f"BatchNorm_{i}"] for i in range(n)],
+    )
+
+
 def fps_start(module: nn.Module, xyz, train: bool):
     """Per-sample random FPS start index during training (reference
     parity: Pointnet2Utils.py:76 uses ``torch.randint``); deterministic 0
@@ -89,25 +114,15 @@ class SetConv(nn.Module):
             and not train
             and self.nsample <= 128
         ):
-            from ..ops.pallas_kernels.setconv_tpu import (
-                fold_bn_layers,
-                setconv_fused,
-            )
+            from ..ops.pallas_kernels.setconv_tpu import setconv_fused
 
             cin = 3 + feats.shape[-1]
             dummy = jnp.zeros((1, cin), policy.compute_dtype())
             _ = PointMLP(self.mlp, norm="batch")(dummy, train=False)
-            p = self.variables["params"]["PointMLP_0"]
-            st = self.variables["batch_stats"]["PointMLP_0"]
-            n = len(self.mlp)
-            layers = fold_bn_layers(
-                [p[f"Dense_{i}"] for i in range(n)],
-                [p[f"BatchNorm_{i}"] for i in range(n)],
-                [st[f"BatchNorm_{i}"] for i in range(n)],
-            )
+            layers = _fold_pointmlp(self, "PointMLP_0", len(self.mlp))
             pooled = setconv_fused(
                 xyz, feats, new_xyz, self.radius, self.nsample,
-                layers, n, True,
+                layers, len(self.mlp), True,
             )
             return new_xyz, pooled
         idx = ops.ball_query(self.radius, self.nsample, xyz, new_xyz)
@@ -130,6 +145,17 @@ class FlowEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, xyz1, xyz2, feats1, feats2, *, train=False, momentum=0.1):
+        if _knnconv_ok(xyz2, train):
+            from ..ops.pallas_kernels.knnconv_tpu import knnconv_fused
+
+            cin = 3 + feats2.shape[-1] + feats1.shape[-1]
+            dummy = jnp.zeros((1, cin), policy.compute_dtype())
+            _ = PointMLP(self.mlp, norm="batch")(dummy, train=False)
+            layers = _fold_pointmlp(self, "PointMLP_0", len(self.mlp))
+            return knnconv_fused(
+                xyz1, xyz2, feats2, feats1, None, self.nsample,
+                layers, (), len(self.mlp), 0,
+            )
         _, idx = ops.knn(xyz1, xyz2, self.nsample)
         g_xyz, g_feats = gather_split(xyz2, feats2, idx)
         g_xyz = g_xyz - xyz1[:, :, None, :]
@@ -157,6 +183,28 @@ class SetUpConv(nn.Module):
     def __call__(
         self, coarse_xyz, dense_xyz, coarse_feats, dense_feats, *, train=False, momentum=0.1
     ):
+        if _knnconv_ok(coarse_xyz, train):
+            from ..ops.pallas_kernels.knnconv_tpu import knnconv_fused
+
+            dt = policy.compute_dtype()
+            cin1 = 3 + coarse_feats.shape[-1]
+            if self.mlp1:
+                _ = PointMLP(self.mlp1, norm="batch", name="conv1")(
+                    jnp.zeros((1, cin1), dt), train=False
+                )
+                l1 = _fold_pointmlp(self, "conv1", len(self.mlp1))
+                cm = self.mlp1[-1]
+            else:
+                l1, cm = (), cin1
+            cin2 = cm + dense_feats.shape[-1]
+            _ = PointMLP(self.mlp2, norm="batch", name="conv2")(
+                jnp.zeros((1, cin2), dt), train=False
+            )
+            l2 = _fold_pointmlp(self, "conv2", len(self.mlp2))
+            return knnconv_fused(
+                dense_xyz, coarse_xyz, coarse_feats, None, dense_feats,
+                self.nsample, l1, l2, len(self.mlp1), len(self.mlp2),
+            )
         _, idx = ops.knn(dense_xyz, coarse_xyz, self.nsample)
         g_xyz, g_feats = gather_split(coarse_xyz, coarse_feats, idx)
         g_xyz = g_xyz - dense_xyz[:, :, None, :]

@@ -47,7 +47,7 @@ TQ = 128  # query rows per grid step
 TK = 256  # key rows per while-loop tile
 
 
-def _ball_kernel(r2_ref, q_ref, p_ref, *out_refs, ks, n):
+def _ball_kernel(r2_ref, q_ref, p_ref, *out_refs, ks, n, early_exit):
     """Grid: (B, S // TQ).
 
     r2_ref [len(ks)] f32 scalar-prefetch squared radii; q_ref
@@ -116,14 +116,20 @@ def _ball_kernel(r2_ref, q_ref, p_ref, *out_refs, ks, n):
         return (t < n_tiles) & unfilled
 
     state = (jnp.int32(0),) + tuple(init_scale(K) for K in ks)
-    state = lax.while_loop(cond, body, state)
+    if early_exit:
+        state = lax.while_loop(cond, body, state)
+    else:
+        state = lax.fori_loop(
+            0, n_tiles, lambda i, s: body(s), state
+        )
     for s in range(n_scales):
         _, acc = state[1 + s]
         out_refs[s][0] = jnp.transpose(acc).astype(jnp.int32)  # [TQ, K]
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def ball_query_pallas(xyz, new_xyz, radii, ks, interpret=False):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def ball_query_pallas(xyz, new_xyz, radii, ks, interpret=False,
+                      early_exit=True):
     """Exact first-``K``-in-radius-by-index ball query, one pass.
 
     Args:
@@ -173,7 +179,8 @@ def ball_query_pallas(xyz, new_xyz, radii, ks, interpret=False):
         ],
     )
     outs = pl.pallas_call(
-        functools.partial(_ball_kernel, ks=tuple(ks), n=Np),
+        functools.partial(_ball_kernel, ks=tuple(ks), n=Np,
+                          early_exit=early_exit),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Sp, K), jnp.int32) for K in ks

@@ -470,3 +470,53 @@ class TestFusedSetConv:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(x), atol=2e-4, rtol=2e-4
         )
+
+
+class TestFusedKnnConv:
+    def test_flow_embedding_parity(self, rng):
+        """knnconv_fused (interpret) vs the FlowEmbedding XLA eval path."""
+        from pci_tpu.nn.layers import _fold_pointmlp
+        from pci_tpu.ops.pallas_kernels.knnconv_tpu import knnconv_fused
+
+        fe = pnn.FlowEmbedding(8, (16, 16, 32))
+        a, b = cloud(rng, 2, 96), cloud(rng, 2, 96)
+        f1 = cloud(rng, 2, 96, 6, scale=1.0)
+        f2 = cloud(rng, 2, 96, 6, scale=1.0)
+        variables = fe.init(jax.random.key(0), a, b, f1, f2, train=False)
+        ref = fe.apply(variables, a, b, f1, f2, train=False)
+
+        class Shim:
+            def __init__(s, v): s.variables = v
+        layers = _fold_pointmlp(Shim(variables), "PointMLP_0", 3)
+        got = knnconv_fused(a, b, f2, f1, None, 8, layers, (), 3, 0, True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
+        )
+
+    @pytest.mark.parametrize("mlp1", [(), (16, 24)])
+    def test_setupconv_parity(self, rng, mlp1):
+        """knnconv_fused (interpret) vs SetUpConv XLA eval path — both
+        the empty-mlp1 identity case (set_upconv1) and the full case."""
+        from pci_tpu.nn.layers import _fold_pointmlp
+        from pci_tpu.ops.pallas_kernels.knnconv_tpu import knnconv_fused
+
+        up = pnn.SetUpConv(4, mlp1, (24, 16))
+        coarse, dense = cloud(rng, 2, 32), cloud(rng, 2, 128)
+        cf = cloud(rng, 2, 32, 10, scale=1.0)
+        df = cloud(rng, 2, 128, 5, scale=1.0)
+        variables = up.init(
+            jax.random.key(0), coarse, dense, cf, df, train=False
+        )
+        ref = up.apply(variables, coarse, dense, cf, df, train=False)
+
+        class Shim:
+            def __init__(s, v): s.variables = v
+        shim = Shim(variables)
+        l1 = _fold_pointmlp(shim, "conv1", len(mlp1)) if mlp1 else ()
+        l2 = _fold_pointmlp(shim, "conv2", 2)
+        got = knnconv_fused(
+            dense, coarse, cf, None, df, 4, l1, l2, len(mlp1), 2, True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
+        )
