@@ -45,6 +45,17 @@ def gather_split(xyz, feats, idx):
     return g[..., :3], g[..., 3:]
 
 
+def _setconv_ok(train: bool, nsample: int) -> bool:
+    """Route a ball-grouped stage to the fused eval kernel
+    (ops/pallas_kernels/setconv_tpu.py).  Module-level so TPU tests can
+    monkeypatch it off and compare against the XLA path in-process."""
+    return (
+        jax.default_backend() == "tpu"
+        and not train
+        and nsample <= 128
+    )
+
+
 def _knnconv_ok(k_xyz, train: bool) -> bool:
     """Route a kNN-grouped stage to the fused eval kernel
     (ops/pallas_kernels/knnconv_tpu.py): TPU, eval, and a key cloud
@@ -109,11 +120,7 @@ class SetConv(nn.Module):
         new_xyz = ops.fps_points(
             xyz, self.npoint, fps_start(self, xyz, train), exact=self.fps_exact
         )
-        if (
-            jax.default_backend() == "tpu"
-            and not train
-            and self.nsample <= 128
-        ):
+        if _setconv_ok(train, self.nsample):
             from ..ops.pallas_kernels.setconv_tpu import setconv_fused
 
             cin = 3 + feats.shape[-1]

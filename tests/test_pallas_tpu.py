@@ -477,6 +477,61 @@ class TestFusedAttentionTpu:
 
 
 @requires_tpu
+class TestFusedKnnConvTpu:
+    def test_flow_embedding_routed_matches_xla(self, rng, monkeypatch):
+        """Mosaic-compiled knnconv route vs the in-process XLA eval path
+        (routing monkeypatched off) at FlowNet3D's FE shape."""
+        from pci_tpu import nn as pnn
+        from pci_tpu.nn import layers as layers_mod
+
+        fe = pnn.FlowEmbedding(64, (128, 128, 128))
+        a = jnp.asarray(rng.standard_normal((1, 256, 3)).astype(np.float32) * 3)
+        b = jnp.asarray(rng.standard_normal((1, 256, 3)).astype(np.float32) * 3)
+        f1 = jnp.asarray(rng.standard_normal((1, 256, 128)).astype(np.float32))
+        f2 = jnp.asarray(rng.standard_normal((1, 256, 128)).astype(np.float32))
+        vars_ = fe.init(jax.random.key(0), a, b, f1, f2, train=False)
+        got = jax.jit(
+            lambda v: fe.apply(v, a, b, f1, f2, train=False)
+        )(vars_)
+        monkeypatch.setattr(layers_mod, "_knnconv_ok", lambda *_: False)
+        ref = jax.jit(
+            lambda v: fe.apply(v, a, b, f1, f2, train=False)
+        )(vars_)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=5e-3, rtol=5e-3
+        )
+
+    def test_flownet3d_eval_routed_matches_xla(self, rng, monkeypatch):
+        """Full FlowNet3D eval: all three fused routes (SetConv ball
+        kernel, FlowEmbedding/SetUpConv knnconv kernels) vs the XLA
+        expression with the SAME params, in one process.  fps routing is
+        shared, so only the fused tails differ."""
+        from pci_tpu.models import FlowNet3D
+        from pci_tpu.nn import layers as layers_mod
+
+        model = FlowNet3D()
+        x1 = jnp.asarray(rng.standard_normal((1, 4096, 3)).astype(np.float32) * 3)
+        x2 = x1 + 0.05 * jnp.asarray(
+            rng.standard_normal((1, 4096, 3)).astype(np.float32)
+        )
+        z = jnp.zeros_like(x1)
+        vars_ = jax.jit(
+            lambda: model.init(jax.random.key(0), x1, x2, z, z, train=False)
+        )()
+        got = jax.jit(
+            lambda v: model.apply(v, x1, x2, z, z, train=False)
+        )(vars_)
+        monkeypatch.setattr(layers_mod, "_knnconv_ok", lambda *_: False)
+        monkeypatch.setattr(layers_mod, "_setconv_ok", lambda *_: False)
+        ref = jax.jit(
+            lambda v: model.apply(v, x1, x2, z, z, train=False)
+        )(vars_)
+        err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+        scale = np.abs(np.asarray(ref)).max()
+        assert err <= 0.02 * max(scale, 1.0), (err, scale)
+
+
+@requires_tpu
 class TestBallPallasTpu:
     def test_matches_exact_xla_at_model_shapes(self, rng):
         """Mosaic-compiled streamed ball query vs the exact XLA path at
