@@ -237,6 +237,17 @@ class FeaturePropagation(nn.Module):
     def __call__(
         self, sub_xyz, dense_xyz, sub_feats, dense_feats, *, train=False, momentum=0.1
     ):
+        if _knnconv_ok(sub_xyz, train):
+            from ..ops.pallas_kernels.knnconv_tpu import knnconv_fused
+
+            cin = sub_feats.shape[-1] + dense_feats.shape[-1]
+            dummy = jnp.zeros((1, cin), policy.compute_dtype())
+            _ = PointMLP(self.mlp, norm="batch")(dummy, train=False)
+            layers = _fold_pointmlp(self, "PointMLP_0", len(self.mlp))
+            return knnconv_fused(
+                dense_xyz, sub_xyz, sub_feats, None, dense_feats, 3,
+                (), layers, 0, len(self.mlp), interp=True,
+            )
         interp = ops.three_nn_interpolate(dense_xyz, sub_xyz, sub_feats, "clamp")
         h = policy.cast_concat([interp, dense_feats])
         h = PointMLP(self.mlp, norm="batch")(h, train=train, momentum=momentum)

@@ -6,7 +6,12 @@ Utils/Layers.py:95-160):
   * FlowEmbedding — kNN(xyz1 -> xyz2), concat ``[dxyz, f2_g, f1]``,
     MLP + max-pool;
   * SetUpConv — kNN(dense -> coarse), concat ``[dxyz, f_coarse]``,
-    MLP1 (may be empty) + max-pool, concat dense skip feats, MLP2.
+    MLP1 (may be empty) + max-pool, concat dense skip feats, MLP2;
+  * FeaturePropagation — 3-NN inverse-distance interpolation
+    (``interp=True``: weighted-sum pooling with weights from EXACT
+    distances recomputed off the gathered xyz, matching
+    ops/interpolate.py's recompute-from-idx contract), concat dense
+    skip feats, MLP.
 
 All these run at coarse shapes (N <= 1024 keys), so the key cloud and
 its feature rows stay fully VMEM-resident and the whole stage fuses
@@ -46,7 +51,8 @@ _IMAX = 2**31 - 1  # python int: a jnp constant would be captured as a
 # kernel const, which pallas_call rejects
 
 
-def _knnconv_kernel(*refs, k, n, c1, cs, n_mlp1, n_mlp2, idx_bits):
+def _knnconv_kernel(*refs, k, n, c1, cs, n_mlp1, n_mlp2, idx_bits,
+                    interp):
     """Grid: (B, S // TQ).
 
     Ref order: q [1,3,TQ], p [1,3,N], rows [1,C2,N],
@@ -94,28 +100,51 @@ def _knnconv_kernel(*refs, k, n, c1, cs, n_mlp1, n_mlp2, idx_bits):
             preferred_element_type=f32,
         ) + b_ref[...]
 
-    def round_step(_, carry):
-        keys, best = carry
+    def extract(keys):
+        """One packed-key min round: (advanced keys, gathered rows)."""
         bmin = jnp.min(keys, axis=0, keepdims=True)  # [1, TQ]
         oh = (keys == bmin).astype(f32)  # exact one-hot
         g = lax.dot_general(
             rows_all, oh, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         )  # [C2, TQ] = [g_xyz | g_feats]
-        h = jnp.concatenate(
-            [g[:3] - q3, g[3:]] + ([qf] if c1 else []), axis=0
+        return jnp.where(oh > 0.0, _IMAX, keys), g
+
+    if interp:
+        # inverse-distance weighted sum (FeaturePropagation,
+        # Utils/Layers.py:171-182): weights from EXACT distances
+        # recomputed off the gathered xyz (quantized packed keys only
+        # pick the winner)
+        cf = rows_all.shape[0] - 3
+
+        def round_step(_, carry):
+            keys, fsum, wsum = carry
+            keys, g = extract(keys)
+            de = jnp.sum((g[:3] - q3) ** 2, axis=0, keepdims=True)
+            r = 1.0 / jnp.maximum(de, 1e-10)
+            return keys, fsum + r * g[3:], wsum + r
+
+        _, fsum, wsum = lax.fori_loop(
+            0, k, round_step,
+            (keys0, jnp.zeros((cf, TQ), f32), jnp.zeros((1, TQ), f32)),
         )
-        for j in range(n_mlp1):
-            h = jnp.maximum(mm(w1[2 * j], w1[2 * j + 1], h), 0.0)
-        return jnp.where(oh > 0.0, _IMAX, keys), jnp.maximum(best, h)
+        h = fsum / wsum
+    else:
+        def round_step(_, carry):
+            keys, best = carry
+            keys, g = extract(keys)
+            h = jnp.concatenate(
+                [g[:3] - q3, g[3:]] + ([qf] if c1 else []), axis=0
+            )
+            for j in range(n_mlp1):
+                h = jnp.maximum(mm(w1[2 * j], w1[2 * j + 1], h), 0.0)
+            return keys, jnp.maximum(best, h)
 
-    cm = (3 + rows_all.shape[0] - 3 + c1) if n_mlp1 == 0 else (
-        w1[-2].shape[0]
-    )
-    best0 = jnp.full((cm, TQ), -jnp.inf, f32)
-    _, best = lax.fori_loop(0, k, round_step, (keys0, best0))
-
-    h = best
+        cm = (3 + rows_all.shape[0] - 3 + c1) if n_mlp1 == 0 else (
+            w1[-2].shape[0]
+        )
+        best0 = jnp.full((cm, TQ), -jnp.inf, f32)
+        _, h = lax.fori_loop(0, k, round_step, (keys0, best0))
     if cs:
         h = jnp.concatenate([h, skip_ref[0]], axis=0)
     for j in range(n_mlp2):
@@ -123,10 +152,11 @@ def _knnconv_kernel(*refs, k, n, c1, cs, n_mlp1, n_mlp2, idx_bits):
     out_ref[0] = h
 
 
-@functools.partial(jax.jit, static_argnums=(5, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(5, 8, 9, 10, 11))
 def knnconv_fused(
     q_xyz, k_xyz, k_feats, q_feats, skip_feats, k,
     mlp1_flat, mlp2_flat, n_mlp1, n_mlp2, interpret=False,
+    interp=False,
 ):
     """Fused kNN-group + folded-BN MLP(s) + max-pool.
 
@@ -141,6 +171,9 @@ def knnconv_fused(
       k: static neighbor count.
       mlp1_flat / mlp2_flat: flat ``(WT, b, ...)`` tuples
         (setconv_tpu.fold_bn_layers); either may be empty.
+      interp: True = inverse-distance 3-NN interpolation pooling
+        (FeaturePropagation; requires ``n_mlp1 == 0`` and no
+        ``q_feats``), False = per-slot MLP1 + max-pool.
 
     Returns:
       ``[B, S, C_out]`` fp32.
@@ -197,17 +230,20 @@ def knnconv_fused(
     add_layers(mlp1_flat)
     add_layers(mlp2_flat)
 
+    if interp:
+        assert n_mlp1 == 0 and c1 == 0, "interp mode: no MLP1/q_feats"
     if n_mlp2:
         c_out = mlp2_flat[-2].shape[0]
     elif n_mlp1:
         c_out = mlp1_flat[-2].shape[0]
     else:
-        c_out = c2 + c1
+        c_out = (c2 - 3 + cs) if interp else c2 + c1
 
     out = pl.pallas_call(
         functools.partial(
             _knnconv_kernel, k=k, n=Np, c1=c1, cs=cs,
             n_mlp1=n_mlp1, n_mlp2=n_mlp2, idx_bits=idx_bits,
+            interp=interp,
         ),
         grid=(B, Sp // TQ),
         in_specs=in_specs,

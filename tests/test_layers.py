@@ -493,6 +493,31 @@ class TestFusedKnnConv:
             np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
         )
 
+    def test_feature_propagation_parity(self, rng):
+        """knnconv_fused interp mode (interpret) vs the FeaturePropagation
+        XLA eval path (3-NN inverse-distance weights, clamp variant)."""
+        from pci_tpu.nn.layers import _fold_pointmlp
+        from pci_tpu.ops.pallas_kernels.knnconv_tpu import knnconv_fused
+
+        fp = pnn.FeaturePropagation((24, 16))
+        sub, dense = cloud(rng, 2, 48), cloud(rng, 2, 160)
+        sf = cloud(rng, 2, 48, 12, scale=1.0)
+        df = cloud(rng, 2, 160, 5, scale=1.0)
+        variables = fp.init(
+            jax.random.key(0), sub, dense, sf, df, train=False
+        )
+        ref = fp.apply(variables, sub, dense, sf, df, train=False)
+
+        class Shim:
+            def __init__(s, v): s.variables = v
+        layers = _fold_pointmlp(Shim(variables), "PointMLP_0", 2)
+        got = knnconv_fused(
+            dense, sub, sf, None, df, 3, (), layers, 0, 2, True, True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
+        )
+
     @pytest.mark.parametrize("mlp1", [(), (16, 24)])
     def test_setupconv_parity(self, rng, mlp1):
         """knnconv_fused (interpret) vs SetUpConv XLA eval path — both
