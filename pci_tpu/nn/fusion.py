@@ -122,6 +122,43 @@ def _fused_kernel_ok(points, k):
     )
 
 
+def _fusion_tail_ok(train: bool) -> bool:
+    """Route the attention head (score MLP + softmax + weighted reduce)
+    to the fused eval kernel (ops/pallas_kernels/fusion_tail_tpu.py).
+    Module-level so TPU tests can monkeypatch it off."""
+    return jax.default_backend() == "tpu" and not train
+
+
+def _apply_fusion_tail(module, mlp, combined, resi, extra, train,
+                       momentum):
+    """Shared routed/XLA attention head for both fusion variants.
+
+    Returns ``[B, N, 3 + Ce]`` fused rows (Ce = extra channels or 0)."""
+    if _fusion_tail_ok(train):
+        from .layers import _fold_pointmlp
+        from ..ops.pallas_kernels.fusion_tail_tpu import (
+            fusion_attention_tail,
+        )
+
+        dummy = jnp.zeros((1, 4), policy.compute_dtype())
+        _ = PointMLP(mlp, norm="batch")(dummy, train=False)
+        layers = _fold_pointmlp(module, "PointMLP_0", len(mlp))
+        return fusion_attention_tail(
+            combined, resi, extra, layers, len(mlp)
+        )
+    feats = jnp.concatenate([resi, _safe_norm(resi)], axis=-1)
+    h = PointMLP(mlp, norm="batch")(feats, train=train, momentum=momentum)
+    scores = jnp.max(h, axis=-1)  # channel max-pool -> [B,N,k]
+    weights = jax.nn.softmax(policy.f32(scores), axis=-1)[..., None]
+    # sum(w * nn) = combined + sum(w * resi): softmax weights sum to 1
+    fused = combined + jnp.sum(weights * resi, axis=2)
+    if extra is not None:
+        fused = jnp.concatenate(
+            [fused, jnp.sum(weights * extra, axis=2)], axis=-1
+        )
+    return fused
+
+
 def _multi_budgets(N, k, w_head):
     """Per-cloud sample/neighbor budgets for F clouds (w_head ``[B,F-1]``,
     the last cloud absorbs remainders): ``(n_all [B,F], k_all [B,F])``
@@ -239,14 +276,9 @@ class PointsFusion(nn.Module):
             nns = _prefix_merge(nn1, nn2, k1, axis=2)  # [B,N,k,3]
             resi = nns - combined[:, :, None, :]
 
-        dist = _safe_norm(resi)
-        feats = jnp.concatenate([resi, dist], axis=-1)  # [B,N,k,4]
-        h = PointMLP(self.mlp, norm="batch")(feats, train=train, momentum=momentum)
-        scores = jnp.max(h, axis=-1)  # channel max-pool -> [B,N,k]
-        weights = jax.nn.softmax(policy.f32(scores), axis=-1)
-        # sum(w * nn) = combined + sum(w * resi): softmax weights sum to 1
-        fused = combined + jnp.sum(weights[..., None] * resi, axis=2)
-        return fused
+        return _apply_fusion_tail(
+            self, self.mlp, combined, resi, None, train, momentum
+        )
 
 
 class PointsFusionWithFeatures(nn.Module):
@@ -306,13 +338,9 @@ class PointsFusionWithFeatures(nn.Module):
             nfs = _prefix_merge(nf1, nf2, k1, axis=2)
             resi = nns - combined[:, :, None, :]
 
-        g = jnp.concatenate([resi, _safe_norm(resi)], -1)
-        h = PointMLP(self.mlp, norm="batch")(g, train=train, momentum=momentum)
-        scores = jnp.max(h, axis=-1)
-        weights = jax.nn.softmax(policy.f32(scores), axis=-1)[..., None]
-        fused_xyz = combined + jnp.sum(weights * resi, axis=2)
-        fused_feat = jnp.sum(weights * nfs, axis=2)
-        return jnp.concatenate([fused_xyz, fused_feat], axis=-1)
+        return _apply_fusion_tail(
+            self, self.mlp, combined, resi, nfs, train, momentum
+        )
 
 
 class PointsFusionMulti(nn.Module):

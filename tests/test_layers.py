@@ -472,6 +472,51 @@ class TestFusedSetConv:
         )
 
 
+class TestFusedFusionTail:
+    @pytest.mark.parametrize("ce", [0, 2])
+    def test_tail_parity(self, rng, ce):
+        """fusion_attention_tail (interpret) vs the XLA attention head,
+        with and without an extra per-neighbor payload."""
+        from pci_tpu.nn.fusion import _safe_norm
+        from pci_tpu.nn.mlp import PointMLP
+        from pci_tpu.ops.pallas_kernels.fusion_tail_tpu import (
+            fusion_attention_tail,
+        )
+        from pci_tpu.ops.pallas_kernels.setconv_tpu import fold_bn_layers
+
+        B, N, k = 2, 96, 8
+        resi = jnp.asarray(
+            rng.standard_normal((B, N, k, 3)).astype(np.float32)
+        )
+        combined = cloud(rng, B, N)
+        extra = (
+            jnp.asarray(rng.standard_normal((B, N, k, ce)).astype(np.float32))
+            if ce else None
+        )
+        mlp = PointMLP((16, 24), norm="batch")
+        feats = jnp.concatenate([resi, _safe_norm(resi)], axis=-1)
+        v = mlp.init(jax.random.key(0), feats, train=False)
+        h = mlp.apply(v, feats, train=False)
+        scores = jnp.max(h, axis=-1)
+        w = jax.nn.softmax(scores, axis=-1)[..., None]
+        ref = combined + jnp.sum(w * resi, axis=2)
+        if ce:
+            ref = jnp.concatenate(
+                [ref, jnp.sum(w * extra, axis=2)], axis=-1
+            )
+
+        p, st = v["params"], v["batch_stats"]
+        layers = fold_bn_layers(
+            [p[f"Dense_{i}"] for i in range(2)],
+            [p[f"BatchNorm_{i}"] for i in range(2)],
+            [st[f"BatchNorm_{i}"] for i in range(2)],
+        )
+        got = fusion_attention_tail(combined, resi, extra, layers, 2, True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
+        )
+
+
 class TestFusedKnnConv:
     def test_flow_embedding_parity(self, rng):
         """knnconv_fused (interpret) vs the FlowEmbedding XLA eval path."""

@@ -532,6 +532,38 @@ class TestFusedKnnConvTpu:
 
 
 @requires_tpu
+class TestFusedFusionTailTpu:
+    def test_pointsfusion_routed_matches_xla(self, rng, monkeypatch):
+        """PointsFusion eval with the fused attention head vs the XLA
+        head (routing monkeypatched off), same sample rng so the
+        adaptive split/permutations are identical."""
+        from pci_tpu import nn as pnn
+        from pci_tpu.nn import fusion as fusion_mod
+
+        fusion = pnn.PointsFusion((64, 64, 128), sampling="random")
+        p1 = jnp.asarray(rng.standard_normal((1, 4096, 3)).astype(np.float32))
+        p2 = p1 + 0.05 * jnp.asarray(
+            rng.standard_normal((1, 4096, 3)).astype(np.float32)
+        )
+        t = jnp.asarray([0.4], jnp.float32)
+        rngs = {"sample": jax.random.key(7)}
+        vars_ = fusion.init(
+            {"params": jax.random.key(0), **rngs}, p1, p2, 32, t,
+            train=False,
+        )
+        got = jax.jit(
+            lambda v: fusion.apply(v, p1, p2, 32, t, train=False, rngs=rngs)
+        )(vars_)
+        monkeypatch.setattr(fusion_mod, "_fusion_tail_ok", lambda *_: False)
+        ref = jax.jit(
+            lambda v: fusion.apply(v, p1, p2, 32, t, train=False, rngs=rngs)
+        )(vars_)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=5e-3, rtol=5e-3
+        )
+
+
+@requires_tpu
 class TestBallPallasTpu:
     def test_matches_exact_xla_at_model_shapes(self, rng):
         """Mosaic-compiled streamed ball query vs the exact XLA path at
