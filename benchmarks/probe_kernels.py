@@ -1,0 +1,121 @@
+"""Tiny bounded TPU probes for every round-3 Pallas kernel.
+
+Run FIRST after a chip recovery (r3_tpu_sweep.sh step 0): each probe is
+small (sub-second device execution, ~10 s compiles) and value-fetches
+its result, so a hang localizes to one kernel instead of wedging the
+worker mid-way through a full-model profile.
+
+  python benchmarks/probe_kernels.py
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def probe(label, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    val = float(np.asarray(out).astype(np.float64).sum())
+    dt = time.perf_counter() - t0
+    assert np.isfinite(val), (label, val)
+    print(f"probe {label:34s} OK  (compile+run {dt:6.1f} s)", flush=True)
+
+
+def main(interpret=False):
+    import jax
+    import jax.numpy as jnp
+
+    ip = False
+    if interpret:  # TPU-faithful interpreter (CPU smoke of this script)
+        from jax.experimental.pallas import tpu as pltpu
+
+        ip = pltpu.InterpretParams()
+
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    f32 = np.float32
+
+    xyz = jnp.asarray((rng.normal(size=(1, 1024, 3)) * 3).astype(f32))
+    feats = jnp.asarray(rng.normal(size=(1, 1024, 4)).astype(f32))
+    newx = jnp.asarray((rng.normal(size=(1, 256, 3)) * 3).astype(f32))
+    W0 = jnp.asarray(rng.normal(size=(16, 7)).astype(f32))
+    b0 = jnp.zeros((16,), f32)
+
+    from pci_tpu.ops.pallas_kernels.setconv_tpu import setconv_fused
+
+    probe("setconv_fused (early-exit)", lambda: setconv_fused(
+        xyz, feats, newx, 1.0, 16, (W0, b0), 1, True, ip))
+    probe("setconv_fused (tiny radius, full scan)", lambda: setconv_fused(
+        xyz, feats, newx, 0.01, 16, (W0, b0), 1, True, ip))
+
+    from pci_tpu.ops.pallas_kernels.ball_tpu import ball_query_pallas
+
+    probe("ball_query_pallas", lambda: ball_query_pallas(
+        xyz, newx, jnp.asarray([0.5, 1.0]), (8, 16), ip)[0])
+    probe("ball_query_pallas (no early exit)", lambda: ball_query_pallas(
+        xyz, newx, jnp.asarray([0.5, 1.0]), (8, 16), ip, False)[0])
+
+    from pci_tpu.ops.pallas_kernels.knnconv_tpu import knnconv_fused
+
+    kf = jnp.asarray(rng.normal(size=(1, 1024, 8)).astype(f32))
+    qf = jnp.asarray(rng.normal(size=(1, 256, 6)).astype(f32))
+    sk = jnp.asarray(rng.normal(size=(1, 256, 5)).astype(f32))
+    Wf = jnp.asarray(rng.normal(size=(16, 17)).astype(f32))
+    Wi = jnp.asarray(rng.normal(size=(12, 13)).astype(f32))
+    bi = jnp.zeros((12,), f32)
+    probe("knnconv_fused (max)", lambda: knnconv_fused(
+        newx, xyz, kf, qf, None, 8, (Wf, jnp.zeros((16,), f32)), (),
+        1, 0, ip))
+    probe("knnconv_fused (interp)", lambda: knnconv_fused(
+        newx, xyz, kf, None, sk, 3, (), (Wi, bi), 0, 1, ip, True))
+
+    from pci_tpu.ops.pallas_kernels.fusion_tail_tpu import (
+        fusion_attention_tail,
+    )
+
+    comb = jnp.asarray(rng.normal(size=(1, 512, 3)).astype(f32))
+    resi = jnp.asarray(rng.normal(size=(1, 512, 32, 3)).astype(f32))
+    Wa = jnp.asarray(rng.normal(size=(64, 4)).astype(f32))
+    ba = jnp.zeros((64,), f32)
+    Wb = jnp.asarray(rng.normal(size=(128, 64)).astype(f32))
+    bb = jnp.zeros((128,), f32)
+    probe("fusion_attention_tail", lambda: fusion_attention_tail(
+        comb, resi, None, (Wa, ba, Wb, bb), 2, ip))
+
+    comb2 = jnp.asarray((rng.normal(size=(1, 4096, 3)) * 3).astype(f32))
+    if not interpret:  # these route/compile on-device only
+        from pci_tpu.ops.pallas_kernels import knn_fusion_adaptive
+
+        probe("knn_fusion_adaptive", lambda: knn_fusion_adaptive(
+            comb2, jnp.asarray([2048], jnp.int32),
+            jnp.asarray([16], jnp.int32), 32, 32))
+
+        from pci_tpu import ops
+
+        probe("knn (packed-key)", lambda: ops.knn(comb2, comb2, 16)[1])
+        probe("fps_points", lambda: ops.fps_points(comb2, 512, 0))
+
+    from pci_tpu.ops.pallas_kernels.attention_tpu import (
+        fused_vector_attention,
+    )
+
+    d, k = 64, 16
+    q = jnp.asarray(rng.normal(size=(1, 512, d)).astype(f32))
+    g = jnp.asarray(rng.normal(size=(1, 512, k, 2 * d)).astype(f32))
+    dl = jnp.asarray(rng.normal(size=(1, 512, k, 3)).astype(f32))
+    wd0 = jnp.asarray(rng.normal(size=(3, d)).astype(f32))
+    wdd = jnp.asarray(rng.normal(size=(d, d)).astype(f32))
+    bd = jnp.zeros((d,), f32)
+    probe("fused_vector_attention", lambda: fused_vector_attention(
+        q, g, dl, wd0, bd, wdd, bd, wdd, bd, wdd, bd, ip))
+
+    print("ALL PROBES OK", flush=True)
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(interpret="--interpret" in sys.argv)
