@@ -2,6 +2,10 @@
 throughput (serving-relevant), honest slope clock.
 
   python -m benchmarks.profile_models [--npoints 16384]
+  python -m benchmarks.profile_models --table6   # PointINet at the
+      paper's 16384/32768/65536 protocol (Table 6: 203.7/372.4/725.9 ms
+      on the RTX 2060).  64k Pallas compiles are slow (CLAUDE.md) —
+      expect a long first iteration.
 """
 
 from __future__ import annotations
@@ -47,6 +51,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--npoints", type=int, default=16384)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--table6", action="store_true",
+                    help="PointINet at 16384/32768/65536 (paper Table 6)")
     args = ap.parse_args()
 
     import jax
@@ -57,10 +63,35 @@ def main():
     N, reps = args.npoints, args.reps
     rng = np.random.default_rng(0)
 
-    def cl(b=1):
-        return jnp.asarray(rng.standard_normal((b, N, 3)).astype(np.float32) * 10)
+    def cl(b=1, n=None):
+        n = n or N
+        return jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32) * 10)
 
     print(f"N={N} device={jax.devices()[0].platform}", flush=True)
+
+    if args.table6:
+        # paper Table 6 runtime protocol rows (RTX 2060 totals:
+        # 16384 -> 203.7 ms, 32768 -> 372.4 ms, 65536 -> 725.9 ms)
+        base = {16384: 203.7, 32768: 372.4, 65536: 725.9}
+        for n in (16384, 32768, 65536):
+            p1, p2 = cl(n=n), cl(n=n)
+            zeros = jnp.zeros_like(p1)
+            t = jnp.asarray([0.5], jnp.float32)
+            model = PointINet(freeze_flow=True)
+            rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+            mv = jax.jit(lambda p1=p1, p2=p2, t=t, zeros=zeros: model.init(
+                rngs, p1, p2, zeros, zeros, t, train=False))()
+            ms = _slope(
+                lambda v, a, b, tt, c: model.apply(
+                    v, a + c, b, jnp.zeros_like(a), jnp.zeros_like(a), tt,
+                    train=False, rngs={"sample": jax.random.key(2)},
+                ),
+                (mv, p1, p2, t), max(reps // (n // 16384), 3),
+                f"PointINet @{n}",
+            )
+            print(f"  -> {1e3 / ms:.1f} fps = {base[n] / ms:.1f}x RTX 2060",
+                  flush=True)
+        return
 
     # --- batched PointINet throughput ---
     for B in (1, 4):

@@ -538,6 +538,27 @@ class TestFusedKnnConv:
             np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
         )
 
+    def test_unaligned_key_count_pad_path(self, rng):
+        """N=97 keys exercises the far-away key pad (n_pad=7); results
+        must match the XLA path exactly (pad keys rank last)."""
+        from pci_tpu.nn.layers import _fold_pointmlp
+        from pci_tpu.ops.pallas_kernels.knnconv_tpu import knnconv_fused
+
+        fe = pnn.FlowEmbedding(8, (16,))
+        a, b = cloud(rng, 1, 64), cloud(rng, 1, 97)
+        f1 = cloud(rng, 1, 64, 4, scale=1.0)
+        f2 = cloud(rng, 1, 97, 4, scale=1.0)
+        variables = fe.init(jax.random.key(0), a, b, f1, f2, train=False)
+        ref = fe.apply(variables, a, b, f1, f2, train=False)
+
+        class Shim:
+            def __init__(s, v): s.variables = v
+        layers = _fold_pointmlp(Shim(variables), "PointMLP_0", 1)
+        got = knnconv_fused(a, b, f2, f1, None, 8, layers, (), 1, 0, True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
+        )
+
     def test_feature_propagation_parity(self, rng):
         """knnconv_fused interp mode (interpret) vs the FeaturePropagation
         XLA eval path (3-NN inverse-distance weights, clamp variant)."""
