@@ -72,10 +72,21 @@ class FeaturePropagationP2(nn.Module):
     def __call__(self, dense_xyz, sub_xyz, dense_feats, sub_feats, *, train=False, momentum=0.1):
         """dense_xyz ``[B,N,3]``, sub_xyz ``[B,S,3]``,
         dense_feats ``[B,N,D]`` or None, sub_feats ``[B,S,C]`` -> ``[B,N,C']``."""
+        from .layers import _knnconv_ok
+
         S = sub_xyz.shape[1]
         if S == 1:
             interp = jnp.broadcast_to(
                 sub_feats, (dense_xyz.shape[0], dense_xyz.shape[1], sub_feats.shape[-1])
+            )
+        elif _knnconv_ok(sub_xyz, train):
+            # fused kNN + inverse-distance interpolation (the GroupNorm
+            # MLP cannot fold, so only the gather-heavy interp fuses)
+            from ..ops.pallas_kernels.knnconv_tpu import knnconv_fused
+
+            interp = knnconv_fused(
+                dense_xyz, sub_xyz, sub_feats, None, None, 3,
+                (), (), 0, 0, interp=True, recip="eps",
             )
         else:
             interp = ops.three_nn_interpolate(dense_xyz, sub_xyz, sub_feats, "eps")

@@ -52,7 +52,7 @@ _IMAX = 2**31 - 1  # python int: a jnp constant would be captured as a
 
 
 def _knnconv_kernel(*refs, k, n, c1, cs, n_mlp1, n_mlp2, idx_bits,
-                    interp):
+                    interp, recip):
     """Grid: (B, S // TQ).
 
     Ref order: q [1,3,TQ], p [1,3,N], rows [1,C2,N],
@@ -121,7 +121,10 @@ def _knnconv_kernel(*refs, k, n, c1, cs, n_mlp1, n_mlp2, idx_bits,
             keys, fsum, wsum = carry
             keys, g = extract(keys)
             de = jnp.sum((g[:3] - q3) ** 2, axis=0, keepdims=True)
-            r = 1.0 / jnp.maximum(de, 1e-10)
+            if recip == "clamp":  # Layers.py:171-182 variant
+                r = 1.0 / jnp.maximum(de, 1e-10)
+            else:  # "eps": Pointnet2Utils.py:266-316 variant
+                r = 1.0 / (de + 1e-8)
             return keys, fsum + r * g[3:], wsum + r
 
         _, fsum, wsum = lax.fori_loop(
@@ -152,11 +155,11 @@ def _knnconv_kernel(*refs, k, n, c1, cs, n_mlp1, n_mlp2, idx_bits,
     out_ref[0] = h
 
 
-@functools.partial(jax.jit, static_argnums=(5, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(5, 8, 9, 10, 11, 12))
 def knnconv_fused(
     q_xyz, k_xyz, k_feats, q_feats, skip_feats, k,
     mlp1_flat, mlp2_flat, n_mlp1, n_mlp2, interpret=False,
-    interp=False,
+    interp=False, recip="clamp",
 ):
     """Fused kNN-group + folded-BN MLP(s) + max-pool.
 
@@ -173,7 +176,12 @@ def knnconv_fused(
         (setconv_tpu.fold_bn_layers); either may be empty.
       interp: True = inverse-distance 3-NN interpolation pooling
         (FeaturePropagation; requires ``n_mlp1 == 0`` and no
-        ``q_feats``), False = per-slot MLP1 + max-pool.
+        ``q_feats``), False = per-slot MLP1 + max-pool.  With empty
+        ``mlp2_flat`` the raw interpolated features are emitted
+        (ops.three_nn_interpolate semantics — serves the GroupNorm
+        FP variant whose MLP cannot fold).
+      recip: inverse-distance flavor — "clamp" (Layers.py) or "eps"
+        (Pointnet2Utils.py); interp mode only.
 
     Returns:
       ``[B, S, C_out]`` fp32.
@@ -243,7 +251,7 @@ def knnconv_fused(
         functools.partial(
             _knnconv_kernel, k=k, n=Np, c1=c1, cs=cs,
             n_mlp1=n_mlp1, n_mlp2=n_mlp2, idx_bits=idx_bits,
-            interp=interp,
+            interp=interp, recip=recip,
         ),
         grid=(B, Sp // TQ),
         in_specs=in_specs,

@@ -559,6 +559,22 @@ class TestFusedKnnConv:
             np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
         )
 
+    def test_interp_only_eps_matches_three_nn(self, rng):
+        """MLP-less interp mode (eps reciprocal) == ops.three_nn_interpolate
+        — the FeaturePropagationP2 route (GroupNorm MLP stays in XLA)."""
+        from pci_tpu import ops
+        from pci_tpu.ops.pallas_kernels.knnconv_tpu import knnconv_fused
+
+        sub, dense = cloud(rng, 2, 48), cloud(rng, 2, 160)
+        sf = cloud(rng, 2, 48, 12, scale=1.0)
+        ref = ops.three_nn_interpolate(dense, sub, sf, "eps")
+        got = knnconv_fused(
+            dense, sub, sf, None, None, 3, (), (), 0, 0, True, True, "eps"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+
     def test_feature_propagation_parity(self, rng):
         """knnconv_fused interp mode (interpret) vs the FeaturePropagation
         XLA eval path (3-NN inverse-distance weights, clamp variant)."""

@@ -501,6 +501,29 @@ class TestFusedKnnConvTpu:
             np.asarray(got), np.asarray(ref), atol=5e-3, rtol=5e-3
         )
 
+    def test_feature_propagation_p2_routed_matches_xla(self, rng, monkeypatch):
+        """FeaturePropagationP2 with the fused interp route vs the XLA
+        three_nn_interpolate path, same params."""
+        from pci_tpu import nn as pnn
+        from pci_tpu.nn import layers as layers_mod
+
+        fp = pnn.FeaturePropagationP2([32, 16])
+        dense = jnp.asarray(rng.standard_normal((1, 2048, 3)).astype(np.float32) * 3)
+        sub = jnp.asarray(rng.standard_normal((1, 256, 3)).astype(np.float32) * 3)
+        df = jnp.asarray(rng.standard_normal((1, 2048, 8)).astype(np.float32))
+        sf = jnp.asarray(rng.standard_normal((1, 256, 24)).astype(np.float32))
+        vars_ = fp.init(jax.random.key(0), dense, sub, df, sf, train=False)
+        got = jax.jit(
+            lambda v: fp.apply(v, dense, sub, df, sf, train=False)
+        )(vars_)
+        monkeypatch.setattr(layers_mod, "_knnconv_ok", lambda *_: False)
+        ref = jax.jit(
+            lambda v: fp.apply(v, dense, sub, df, sf, train=False)
+        )(vars_)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=5e-3, rtol=5e-3
+        )
+
     def test_flownet3d_eval_routed_matches_xla(self, rng, monkeypatch):
         """Full FlowNet3D eval: all three fused routes (SetConv ball
         kernel, FlowEmbedding/SetUpConv knnconv kernels) vs the XLA
