@@ -33,7 +33,6 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from .. import ops
 from . import policy
