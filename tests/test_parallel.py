@@ -168,3 +168,60 @@ class TestShardedCompute:
             _, metrics = step(state, b, jax.random.key(3), jnp.asarray(0.5))
             losses[name] = float(metrics["loss"])
         assert losses["ring"] == pytest.approx(losses["single"], rel=2e-4)
+
+
+class TestShardedTransformer:
+    """Point-sharded TransformerLayer (VERDICT r3 item 5): numeric match
+    to the single-device eval path at N=4096 over 4 point shards, and the
+    compiled HLO proves the sharding (ring permutes for the kNN, one
+    linear-size all-gather for K/V, no full [N,N] matrix)."""
+
+    def _setup(self, rng, B=1, N=4096, C=16, d_model=32, k=8):
+        from pci_tpu.nn import TransformerLayer
+
+        xyz = cloud(rng, B=B, N=N)
+        feats = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+        layer = TransformerLayer(d_model=d_model, k=k)
+        variables = layer.init(
+            {"params": jax.random.key(0)}, xyz, feats, train=False
+        )
+        return layer, variables, xyz, feats
+
+    def test_matches_single_device_4shards(self, rng):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pci_tpu.parallel import transformer_layer_sharded
+
+        layer, variables, xyz, feats = self._setup(rng)
+        want, _ = layer.apply(variables, xyz, feats, train=False)
+
+        mesh = make_mesh(n_data=1, n_points=4)
+        sh = NamedSharding(mesh, P(None, "points"))
+        xyz_s = jax.device_put(xyz, sh)
+        feats_s = jax.device_put(feats, sh)
+        got = transformer_layer_sharded(
+            variables["params"], xyz_s, feats_s,
+            d_model=32, k=8, mesh=mesh,
+        )
+        assert got.sharding.spec == P(None, "points")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+    def test_hlo_is_sharded(self, rng):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pci_tpu.parallel import transformer_layer_sharded
+
+        layer, variables, xyz, feats = self._setup(rng, N=1024)
+        mesh = make_mesh(n_data=1, n_points=8)
+        sh = NamedSharding(mesh, P(None, "points"))
+        xyz_s = jax.device_put(xyz, sh)
+        feats_s = jax.device_put(feats, sh)
+
+        fn = jax.jit(lambda p, x, f: transformer_layer_sharded(
+            p, x, f, d_model=32, k=8, mesh=mesh))
+        text = fn.lower(variables["params"], xyz_s, feats_s).compile().as_text()
+        assert "collective-permute" in text  # ring kNN key circulation
+        assert "all-gather" in text          # linear-size K/V table
+        assert "f32[1,1024,1024]" not in text  # no full NxN distance block
