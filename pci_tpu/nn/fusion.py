@@ -121,6 +121,62 @@ def _fused_kernel_ok(points, k):
     )
 
 
+# Above this combined-cloud size the flat fusion kernel's O(N^2/l) bucket
+# phase loses to F cell-pruned passes at O(F * N * M * C) — the paper's
+# 65,536-pt protocol row (Table 6) runs here.  Eval-only: knn_cells has
+# no VJP, so training keeps the flat kernel (custom fixed-neighbor VJP).
+_CELLS_FUSION_N = 32768
+
+
+def _cells_route_ok(points, k, train):
+    return (
+        not train
+        and jax.default_backend() == "tpu"
+        and points.shape[-2] >= _CELLS_FUSION_N
+        and k <= 64
+    )
+
+
+def _cells_fusion_knn(combined, seg_ends, budgets, k, emit_idx=False, *,
+                      chunk=512, m_chunks=16, bucket=16, winners=2,
+                      tile=256, interpret=False):
+    """Segment-restricted self-kNN at large N: one ``key_valid``-masked
+    cell-pruned pass per segment (ops/pallas_kernels/knn_cells_tpu.py),
+    then budget compaction — the XLA fallback's own two-phase structure
+    with ``knn_prefix`` swapped for ``knn_cells``.  Surplus budget slots
+    (segment held fewer candidates than its budget) become zero-residual
+    self-neighbors, matching the flat fused kernel's convention."""
+    from ..ops.pallas_kernels.knn_cells_tpu import knn_cells
+
+    B, N, _ = combined.shape
+    F = seg_ends.shape[1]
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    qpos = jnp.broadcast_to(pos[:, :, None], (B, N, k))
+    start = jnp.zeros((B, 1), jnp.int32)
+    parts_r, parts_i = [], []
+    for j in range(F):
+        end = seg_ends[:, j : j + 1]
+        valid = (pos >= start) & (pos < end)
+        d, i, r = knn_cells(
+            combined, combined, k, chunk=chunk, m_chunks=m_chunks,
+            bucket=bucket, winners=winners, tile=tile,
+            emit_resi=True, key_valid=valid, interpret=interpret,
+        )
+        far = d > 1e29
+        parts_i.append(jnp.where(far, qpos, i))
+        parts_r.append(jnp.where(far[..., None], 0.0, r))
+        start = end
+    resi = _budget_compact(parts_r, budgets, k)
+    if emit_idx:
+        # compact indices through the same one-hot matmul in fp32 (idx
+        # < 2^24 is exact; a 32-wide int gather is pathological on TPU)
+        fi = _budget_compact(
+            [p[..., None].astype(jnp.float32) for p in parts_i], budgets, k
+        )
+        return jnp.round(fi[..., 0]).astype(jnp.int32), resi
+    return resi
+
+
 def _fusion_tail_ok(train: bool) -> bool:
     """Route the attention head (score MLP + softmax + weighted reduce)
     to the fused eval kernel (ops/pallas_kernels/fusion_tail_tpu.py).
@@ -256,7 +312,13 @@ class PointsFusion(nn.Module):
             jnp.stack([N1, N2], axis=1),
         )
 
-        if _fused_kernel_ok(points1, k):
+        if _cells_route_ok(points1, k, train):
+            resi = _cells_fusion_knn(
+                combined,
+                jnp.stack([N1, jnp.full_like(N1, N)], axis=1),
+                jnp.stack([k1, k2], axis=1), k,
+            )
+        elif _fused_kernel_ok(points1, k):
             # one fused kernel: shared distance tiles, k1/k2-adaptive
             # extraction, pre-merged residual block (see fusion_knn_tpu)
             from ..ops.pallas_kernels import knn_fusion_adaptive
@@ -312,7 +374,14 @@ class PointsFusionWithFeatures(nn.Module):
             jnp.concatenate([feats1, feats2], axis=1), gidx[..., None], axis=1
         )
 
-        if _fused_kernel_ok(points1, k):
+        if _cells_route_ok(points1, k, train):
+            idx, resi = _cells_fusion_knn(
+                combined,
+                jnp.stack([N1, jnp.full_like(N1, N)], axis=1),
+                jnp.stack([k1, k2], axis=1), k, emit_idx=True,
+            )
+            nfs = ops.index_points(combined_feats, idx)
+        elif _fused_kernel_ok(points1, k):
             from ..ops.pallas_kernels import knn_fusion_adaptive
 
             idx, resi = knn_fusion_adaptive(
@@ -372,7 +441,11 @@ class PointsFusionMulti(nn.Module):
         ]
         combined, _ = _composed_shuffle_merge(points_list, perms, n_all)
 
-        if _fused_kernel_ok(points_list[0], k):
+        if _cells_route_ok(points_list[0], k, train):
+            resi = _cells_fusion_knn(
+                combined, jnp.cumsum(n_all, axis=1), k_all, k
+            )
+        elif _fused_kernel_ok(points_list[0], k):
             # one fused kernel: shared distance tiles, F budgeted
             # extraction phases, pre-compacted residual block
             from ..ops.pallas_kernels import knn_fusion_multi

@@ -63,7 +63,7 @@ _IMAX = jnp.iinfo(jnp.int32).max
 
 
 def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
-                       emit_idx):
+                       emit_idx, winners=1):
     """Grid: (B, S // TQ).
 
     q_ref [1, 3, TQ] query tile; p_ref [1, 3, N] whole combined cloud.
@@ -72,7 +72,16 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
     budgets (sum == k).
     refs: ([od [1,TQ,k]]? [oi [1,TQ,k]]? orr [1,3,TQ,k]), then scratch:
     cand_k packed keys, [cand_i]? global indices, cand_{x,y,z} argmin
-    coords — all [N // l, TQ].
+    coords — all [winners * N // l, TQ].
+
+    ``winners``: bucket candidates kept per min phase (knn_cells_tpu
+    recipe).  The extraction loop's per-round cost scales with the
+    candidate row count ``winners * N / l``, so (l=2L, W=2) halves
+    nothing but (l=4L, W=2) halves extraction at better recall than
+    (l=2L, W=1) — losing a true neighbor needs 3+ collisions in one
+    bucket instead of 2.  Candidate rows for tile j are laid out
+    [j * W * nb_tile + w * nb_tile + b_local] so the bucket id of any
+    candidate row is recoverable for segment masking.
     """
     n_out = 1 + int(emit_d) + int(emit_idx)
     outs, rest = refs[:n_out], refs[n_out:]
@@ -104,34 +113,47 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
         bits = jax.lax.bitcast_convert_type(d, jnp.int32)  # d >= 0
         loc = jax.lax.broadcasted_iota(jnp.int32, (nb_tile, l, TQ), 1)
         keys = (bits.reshape(nb_tile, l, TQ) & ~(l - 1)) | loc
-        bmin = jnp.min(keys, axis=1)  # [nb_tile, TQ]: dist + local argmin
-        local = bmin & (l - 1)
-        oh = loc == local[:, None, :]  # exact one-hot (index tie-break)
         p3 = p.reshape(nb_tile, l, 3)
-        cx = jnp.sum(jnp.where(oh, p3[:, :, 0][..., None], 0.0), axis=1)
-        cy = jnp.sum(jnp.where(oh, p3[:, :, 1][..., None], 0.0), axis=1)
-        cz = jnp.sum(jnp.where(oh, p3[:, :, 2][..., None], 0.0), axis=1)
-        sl = pl.ds(j * nb_tile, nb_tile)
-        cand_k[sl, :] = bmin
-        if emit_idx:
-            base = (
-                jax.lax.broadcasted_iota(jnp.int32, (nb_tile, TQ), 0) * l
-                + j * TK
-            )
-            cand_i[sl, :] = base + local
-        cand_x[sl, :] = cx
-        cand_y[sl, :] = cy
-        cand_z[sl, :] = cz
+        for w in range(winners):
+            bmin = jnp.min(keys, axis=1)  # [nb_tile, TQ]: dist + argmin
+            local = bmin & (l - 1)
+            oh = loc == local[:, None, :]  # exact one-hot (index tie-break)
+            cx = jnp.sum(jnp.where(oh, p3[:, :, 0][..., None], 0.0), axis=1)
+            cy = jnp.sum(jnp.where(oh, p3[:, :, 1][..., None], 0.0), axis=1)
+            cz = jnp.sum(jnp.where(oh, p3[:, :, 2][..., None], 0.0), axis=1)
+            sl = pl.ds((j * winners + w) * nb_tile, nb_tile)
+            cand_k[sl, :] = bmin
+            if emit_idx:
+                base = (
+                    jax.lax.broadcasted_iota(jnp.int32, (nb_tile, TQ), 0) * l
+                    + j * TK
+                )
+                cand_i[sl, :] = base + local
+            cand_x[sl, :] = cx
+            cand_y[sl, :] = cy
+            cand_z[sl, :] = cz
+            if w + 1 < winners:
+                # every packed key is unique (loc LSBs): exactly one lane
+                # per bucket clears
+                keys = jnp.where(oh, _IMAX, keys)
         return 0
 
     lax.fori_loop(0, n // TK, key_tile, 0)
 
     # extraction: pack the candidate-row id into the low bits.  The floor
     # of (l-1).bit_length() clears the stale local-argmin bits even when
-    # nb_total < l (cand_i already holds the global index)
-    row = jax.lax.broadcasted_iota(jnp.int32, (nb_total, TQ), 0)
-    rbits = max((nb_total - 1).bit_length(), (l - 1).bit_length())
+    # the row count < l (cand_i already holds the global index)
+    nb_rows = winners * nb_total
+    row = jax.lax.broadcasted_iota(jnp.int32, (nb_rows, TQ), 0)
+    rbits = max((nb_rows - 1).bit_length(), (l - 1).bit_length())
     ck = (cand_k[...] & ~((1 << rbits) - 1)) | row
+    if winners == 1:
+        bucket_id = row
+    else:
+        # tile-major winner layout: row = j*W*nb_tile + w*nb_tile + b_loc
+        nbw_log = (winners * nb_tile - 1).bit_length()
+        nbt_log = (nb_tile - 1).bit_length()
+        bucket_id = ((row >> nbw_log) << nbt_log) | (row & (nb_tile - 1))
     cx = cand_x[...]
     cy = cand_y[...]
     cz = cand_z[...]
@@ -186,7 +208,9 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
     for j in range(nseg):
         row_hi = scal_ref[base_s + j] // l
         budget = scal_ref[base_s + nseg + j]
-        keys_j = jnp.where((row >= row_lo) & (row < row_hi), ck, _IMAX)
+        keys_j = jnp.where(
+            (bucket_id >= row_lo) & (bucket_id < row_hi), ck, _IMAX
+        )
         _, *carry = lax.fori_loop(
             kcum, kcum + budget, extract, (keys_j, *carry)
         )
@@ -205,13 +229,15 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
     orr[0, 2] = rz_a
 
 
-def _fusion_impl(combined, seg_ends, budgets, k, bucket, emit_d, emit_idx):
+def _fusion_impl(combined, seg_ends, budgets, k, bucket, emit_d, emit_idx,
+                 winners=1, interpret=False):
     combined = lax.stop_gradient(combined)
     B, N, C = combined.shape
     F = seg_ends.shape[1]
     assert C == 3
     l = bucket
     assert l & (l - 1) == 0, "bucket must be a power of two"
+    assert winners in (1, 2)
 
     s_pad = (-N) % TQ
     n_pad = (-N) % TK
@@ -241,14 +267,15 @@ def _fusion_impl(combined, seg_ends, budgets, k, bucket, emit_d, emit_idx):
     out_specs.append(pl.BlockSpec((1, 3, TQ, k), lambda b, i, s: (b, 0, i, 0)))
     out_shapes.append(jax.ShapeDtypeStruct((B, 3, Sp, k), jnp.float32))
 
-    scratch = [pltpu.VMEM((Np // l, TQ), jnp.int32)]
+    nrows = winners * Np // l
+    scratch = [pltpu.VMEM((nrows, TQ), jnp.int32)]
     if emit_idx:
-        scratch.append(pltpu.VMEM((Np // l, TQ), jnp.int32))
-    scratch += [pltpu.VMEM((Np // l, TQ), jnp.float32)] * 3
+        scratch.append(pltpu.VMEM((nrows, TQ), jnp.int32))
+    scratch += [pltpu.VMEM((nrows, TQ), jnp.float32)] * 3
 
     kernel = functools.partial(
         _fusion_knn_kernel, k=k, n=Np, l=l, nseg=F, emit_d=emit_d,
-        emit_idx=emit_idx,
+        emit_idx=emit_idx, winners=winners,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -267,6 +294,7 @@ def _fusion_impl(combined, seg_ends, budgets, k, bucket, emit_d, emit_idx):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
+        interpret=interpret,
     )(scal, q_t, p_t)
 
     result = []
@@ -280,22 +308,29 @@ def _fusion_impl(combined, seg_ends, budgets, k, bucket, emit_d, emit_idx):
     return tuple(result) if len(result) > 1 else result[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _fusion_core(combined, seg_ends, budgets, k, bucket):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fusion_core(combined, seg_ends, budgets, k, bucket, winners, interpret):
     """(idx, resi) with a FIXED-neighbor backward: gradients through the
     residuals flow into ``combined`` exactly like the jnp fallback's
     differentiable gather (d resi[b,n,j] / d combined = one-hot at
     idx[b,n,j] minus one-hot at n), so TPU and CPU training see the same
     gradients."""
-    return _fusion_impl(combined, seg_ends, budgets, k, bucket, False, True)
+    return _fusion_impl(
+        combined, seg_ends, budgets, k, bucket, False, True, winners,
+        interpret,
+    )
 
 
-def _fusion_core_fwd(combined, seg_ends, budgets, k, bucket):
-    idx, resi = _fusion_impl(combined, seg_ends, budgets, k, bucket, False, True)
+def _fusion_core_fwd(combined, seg_ends, budgets, k, bucket, winners,
+                     interpret):
+    idx, resi = _fusion_impl(
+        combined, seg_ends, budgets, k, bucket, False, True, winners,
+        interpret,
+    )
     return (idx, resi), (idx, seg_ends, budgets)
 
 
-def _fusion_core_bwd(k, bucket, res, g):
+def _fusion_core_bwd(k, bucket, winners, interpret, res, g):
     import numpy as np
 
     idx, seg_ends, budgets = res
@@ -315,10 +350,11 @@ def _fusion_core_bwd(k, bucket, res, g):
 _fusion_core.defvjp(_fusion_core_fwd, _fusion_core_bwd)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def knn_fusion_multi(combined: jax.Array, seg_ends: jax.Array,
                      budgets: jax.Array, k: int, bucket: int = 16,
-                     emit_d: bool = False, emit_idx: bool = False):
+                     emit_d: bool = False, emit_idx: bool = False,
+                     winners: int = 1, interpret=False):
     """Budgeted self-kNN of ``combined`` into its F prefix segments.
 
     For each query point, returns its ``budgets[j]`` nearest neighbors
@@ -351,7 +387,9 @@ def knn_fusion_multi(combined: jax.Array, seg_ends: jax.Array,
       at the query's own index (a self-neighbor — the benign analog of
       the reference's duplicated neighbors at tiny pools).
     """
-    idx, resi = _fusion_core(combined, seg_ends, budgets, k, bucket)
+    idx, resi = _fusion_core(
+        combined, seg_ends, budgets, k, bucket, winners, interpret
+    )
     result = []
     if emit_d:
         result.append(jnp.sum(resi * resi, axis=-1))
@@ -363,7 +401,8 @@ def knn_fusion_multi(combined: jax.Array, seg_ends: jax.Array,
 
 def knn_fusion_adaptive(combined: jax.Array, split: jax.Array,
                         k1: jax.Array, k: int, bucket: int = 16,
-                        emit_d: bool = False, emit_idx: bool = False):
+                        emit_d: bool = False, emit_idx: bool = False,
+                        winners: int = 1, interpret=False):
     """Two-segment special case: ``k1`` neighbors from rows [0, split)
     then ``k - k1`` from [split, N) (the PointsFusion adaptive head,
     /root/reference/Utils/Layers.py:260-270).  See knn_fusion_multi."""
@@ -374,4 +413,4 @@ def knn_fusion_adaptive(combined: jax.Array, split: jax.Array,
     )
     budgets = jnp.stack([k1, k - k1], axis=1)
     return knn_fusion_multi(combined, seg_ends, budgets, k, bucket,
-                            emit_d, emit_idx)
+                            emit_d, emit_idx, winners, interpret)

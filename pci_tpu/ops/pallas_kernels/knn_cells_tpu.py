@@ -32,8 +32,10 @@ nearest neighbor is exact whenever its chunk is selected — its lower
 bound is <= its true distance, so it can only be pruned if M-1 other
 chunks BOX-dominate it.
 
-No prefix masking (``valid_n``): a prefix in original index order is not
-contiguous in sorted order.  Adaptive-fusion callers keep knn_tpu.py.
+Prefix restriction (the adaptive-fusion case) is supported via the
+``key_valid`` mask: validity rides the sort as a payload channel, chunk
+AABBs cover valid keys only, and the kernel pushes invalid keys to the
+sentinel before the bucket minima.
 """
 
 from __future__ import annotations
@@ -127,12 +129,15 @@ def _box_lb(qlo, qhi, klo, khi):
 
 
 def _cells_kernel(chunks_ref, qt_ref, p_ref, ids_ref, *refs,
-                  k, l, C, M, tq, emit_resi, winners):
+                  k, l, C, M, tq, emit_resi, winners, masked=False):
     """Grid: (B, S // TQ).
 
     chunks_ref: scalar-prefetch [B * S_tiles * M] int32 chunk ids.
     qt_ref [1, 3, tq] sorted-query tile; p_ref [1, 3, Np] sorted keys;
-    ids_ref [1, Np] original key indices (the sort permutation).
+    ids_ref [1, 1|2, Np] original key indices (the sort permutation);
+    when ``masked``, row 1 carries per-key validity (0/1) and invalid
+    keys are pushed to ``_BIG`` before the bucket minima (the
+    segment-restricted fusion kNN — see ``key_valid`` of knn_cells).
     outs: d [1, tq, k], idx [1, tq, k], [resi [1, 3, tq, k]].
     scratch: cand_k / cand_i [winners * M * C // l, tq]
     (+ cand_x/y/z if emit_resi).
@@ -157,6 +162,9 @@ def _cells_kernel(chunks_ref, qt_ref, p_ref, ids_ref, *refs,
         for c in range(3):
             diff = p[:, c][:, None] - qt_ref[0, c, :][None, :]
             d = d + diff * diff
+        if masked:
+            val = jnp.transpose(ids_ref[0, 1:2, pl.ds(start, C)])  # [C, 1]
+            d = jnp.where(val > 0, d, _BIG)
 
         # packed bucket argmin (knn_tpu.py recipe): fp32 bitcast int32 is
         # order-preserving for d >= 0; steal log2(l) LSBs for the local id.
@@ -171,7 +179,7 @@ def _cells_kernel(chunks_ref, qt_ref, p_ref, ids_ref, *refs,
         # original-id payload tracking (beats a 1M-row host-side remap).
         # transpose [1, C] -> [C, 1] first: C arrives on the 128-lane
         # minor axis and Mosaic reshapes may only split MAJOR axes.
-        idv = jnp.transpose(ids_ref[0, :, pl.ds(start, C)])  # [C, 1]
+        idv = jnp.transpose(ids_ref[0, 0:1, pl.ds(start, C)])  # [C, 1]
         id3 = idv.reshape(l, nb_chunk, 1)
         p3 = p.reshape(l, nb_chunk, 3) if emit_resi else None
         for w in range(winners):
@@ -235,6 +243,7 @@ def knn_cells(
     query: jax.Array, points: jax.Array, k: int,
     chunk: int = 512, m_chunks: int = 12, bucket: int = 16,
     emit_resi: bool = False, winners: int = 2, tile: int = TQ,
+    key_valid: jax.Array | None = None, interpret=False,
 ):
     """Cell-pruned kNN of ``query`` into ``points``.
 
@@ -260,6 +269,18 @@ def knn_cells(
         LiDAR (measured 64k prune-recall at the same 6144-key budget:
         tile 512 -> 0.96, tile 128 -> 0.99); per-query distance work is
         tile-invariant, only the grid gets deeper.
+      key_valid: optional ``[B, N]`` bool — restrict neighbors to keys
+        where True (the segment-restricted fusion kNN: the adaptive
+        fusion head queries the combined cloud against each PREFIX
+        segment; a prefix in original order is not contiguous in sorted
+        order, so validity rides the sort as a per-key payload).  Chunk
+        AABBs cover only valid keys, so chunk ranking spends its ``M``
+        budget on chunks that actually hold segment keys.  When a query
+        tile finds fewer than k valid candidates, surplus slots emit
+        sentinel distances ``>= 1e29`` (callers replace them — see
+        nn/fusion.py's self-neighbor convention).
+      interpret: run under the TPU-faithful Pallas interpreter (CPU
+        tests); pass ``pltpu.InterpretParams()`` for strict mode.
 
     Returns:
       ``(sq_dists [B, S, k], idx [B, S, k][, resi])`` ascending by
@@ -276,14 +297,14 @@ def knn_cells(
     # passed down as a static flag.
     return _knn_cells_impl(
         query, points, k, chunk, m_chunks, bucket, emit_resi, winners,
-        tile, query is points,
+        tile, query is points, key_valid, interpret,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 11))
 def _knn_cells_impl(
     query, points, k, chunk, m_chunks, bucket, emit_resi, winners, tile,
-    self_knn,
+    self_knn, key_valid=None, interpret=False,
 ):
     query = lax.stop_gradient(query)
     points = lax.stop_gradient(points)
@@ -310,6 +331,11 @@ def _knn_cells_impl(
     # per-tile chunk ranking (tile AABB -> chunk AABB lower bounds),
     # pad rows masked out of every box (see _chunk_boxes)
     kv = perm < N
+    if key_valid is not None:
+        vs = jnp.take_along_axis(
+            key_valid.astype(jnp.int32), jnp.minimum(perm, N - 1), axis=1
+        )
+        kv = kv & (vs > 0)
     klo, khi = _chunk_boxes(p_sorted, C, kv)
     qlo, qhi = _chunk_boxes(q_sorted, tq, qperm < N if self_knn else
                             (qperm < S))
@@ -327,7 +353,11 @@ def _knn_cells_impl(
 
     q_t = jnp.swapaxes(q_sorted, 1, 2)  # [B, 3, Sp]
     p_t = jnp.swapaxes(p_sorted, 1, 2)  # [B, 3, Np]
+    masked = key_valid is not None
     ids = jnp.minimum(perm, N - 1)[:, None, :]  # [B, 1, Np]
+    if masked:  # row 1: per-key validity payload (kv already folds pads)
+        ids = jnp.concatenate([ids, kv.astype(jnp.int32)[:, None, :]], axis=1)
+    id_rows = ids.shape[1]
 
     out_specs = [
         pl.BlockSpec((1, tq, k), lambda b, i, s: (b, i, 0)),
@@ -346,7 +376,7 @@ def _knn_cells_impl(
 
     kernel = functools.partial(
         _cells_kernel, k=k, l=l, C=C, M=M, tq=tq, emit_resi=emit_resi,
-        winners=winners,
+        winners=winners, masked=masked,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -354,7 +384,9 @@ def _knn_cells_impl(
         in_specs=[
             pl.BlockSpec((1, 3, tq), lambda b, i, s: (b, 0, i)),
             pl.BlockSpec((1, 3, p_t.shape[-1]), lambda b, i, s: (b, 0, 0)),
-            pl.BlockSpec((1, 1, p_t.shape[-1]), lambda b, i, s: (b, 0, 0)),
+            pl.BlockSpec(
+                (1, id_rows, p_t.shape[-1]), lambda b, i, s: (b, 0, 0)
+            ),
         ],
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -364,6 +396,7 @@ def _knn_cells_impl(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
+        interpret=interpret,
     )(chunk_ids, q_t, p_t, ids)
 
     # un-permute output rows to original query order

@@ -627,3 +627,182 @@ class TestFusedKnnConv:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
         )
+
+
+class TestCellsFusionRoute:
+    """64k cells-route fusion kNN (VERDICT r3 item 4): segment-restricted
+    knn_cells passes + budget compaction, interpreter-mode exact configs
+    (full chunk coverage, bucket 2, 2 winners => no approximation)."""
+
+    def _reference(self, combined, seg_ends, budgets, k):
+        """Exact per-segment kNN + the XLA fallback's budget compaction."""
+        from pci_tpu.nn.fusion import _budget_compact
+
+        B, N, _ = combined.shape
+        pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+        d_full = jnp.sum(
+            (combined[:, :, None] - combined[:, None, :, :]) ** 2, -1
+        )
+        parts_r, parts_i = [], []
+        start = jnp.zeros((B, 1), jnp.int32)
+        qpos = jnp.broadcast_to(pos[:, :, None], (B, N, k))
+        for j in range(seg_ends.shape[1]):
+            end = seg_ends[:, j : j + 1]
+            valid = (pos >= start) & (pos < end)
+            dm = jnp.where(valid[:, None, :], d_full, jnp.inf)
+            dk, ik = jax.lax.top_k(-dm, k)
+            far = ~jnp.isfinite(-dk)
+            ik = jnp.where(far, qpos, ik)
+            nn_pts = jax.vmap(lambda p, i: p[i])(combined, ik)
+            r = jnp.where(
+                far[..., None], 0.0, nn_pts - combined[:, :, None, :]
+            )
+            parts_r.append(r)
+            parts_i.append(ik.astype(jnp.int32))
+            start = end
+        resi = _budget_compact(parts_r, budgets, k)
+        fi = _budget_compact(
+            [p[..., None].astype(jnp.float32) for p in parts_i], budgets, k
+        )
+        return jnp.round(fi[..., 0]).astype(jnp.int32), resi
+
+    def _run(self, rng, seg_ends, budgets, k, N=1024, B=2):
+        from pci_tpu.nn.fusion import _cells_fusion_knn
+
+        combined = cloud(rng, B, N, scale=3.0)
+        idx, resi = _cells_fusion_knn(
+            combined, seg_ends, budgets, k, emit_idx=True,
+            chunk=256, m_chunks=8, bucket=2, winners=2, tile=128,
+            interpret=True,
+        )
+        want_i, want_r = self._reference(combined, seg_ends, budgets, k)
+        # packed-key extraction quantizes RANKING by ~2^-13 relative, so
+        # near-ties may swap order WITHIN a segment's budget block; the
+        # neighbor set per block is exact under these settings.  Compare
+        # per-block sets, then residuals by self-consistency with idx.
+        gi, wi = np.asarray(idx), np.asarray(want_i)
+        bud = np.asarray(budgets)
+        B = gi.shape[0]
+        for b in range(B):
+            cum = 0
+            for j in range(bud.shape[1]):
+                bj = int(bud[b, j])
+                np.testing.assert_array_equal(
+                    np.sort(gi[b, :, cum:cum + bj], axis=-1),
+                    np.sort(wi[b, :, cum:cum + bj], axis=-1),
+                    err_msg=f"batch {b} segment {j}",
+                )
+                cum += bj
+        nn_pts = jax.vmap(lambda p, i: p[i])(combined, idx)
+        want_resi = nn_pts - combined[:, :, None, :]
+        np.testing.assert_allclose(
+            np.asarray(resi), np.asarray(want_resi), atol=1e-6
+        )
+        return combined, idx, resi
+
+    def test_two_segments_matches_exact(self, rng):
+        B, N, k = 2, 1024, 8
+        seg_ends = jnp.asarray([[640, N], [320, N]], jnp.int32)
+        budgets = jnp.asarray([[5, 3], [2, 6]], jnp.int32)
+        self._run(rng, seg_ends, budgets, k, N=N, B=B)
+
+    def test_three_segments_matches_exact(self, rng):
+        B, N, k = 2, 768, 6
+        seg_ends = jnp.asarray([[256, 512, N], [128, 640, N]], jnp.int32)
+        budgets = jnp.asarray([[2, 2, 2], [1, 3, 2]], jnp.int32)
+        self._run(rng, seg_ends, budgets, k, N=N, B=B)
+
+    def test_starved_segment_emits_self_neighbors(self, rng):
+        """Budget > available candidates: surplus slots must be zero
+        residuals at the query's own index (flat-kernel convention)."""
+        B, N, k = 1, 512, 8
+        seg_ends = jnp.asarray([[4, N]], jnp.int32)  # segment A: 4 pts
+        budgets = jnp.asarray([[6, 2]], jnp.int32)   # but budget 6
+        combined, idx, resi = self._run(
+            rng, seg_ends, budgets, k, N=N, B=B
+        )
+        # slots 4..5 of every query row are self-neighbors
+        pos = np.arange(N)[None, :, None]
+        np.testing.assert_array_equal(
+            np.asarray(idx)[:, :, 4:6], np.broadcast_to(pos, (B, N, 2))[:, :, [0, 0]]
+        )
+        assert float(np.abs(np.asarray(resi)[:, :, 4:6]).max()) == 0.0
+
+
+class TestFusionKernelWinners:
+    """W-winners bucket phase of the fused fusion kNN (VERDICT r3 item 8
+    lever: fewer extraction rows at equal recall).  Interpreter mode."""
+
+    def _exact_ref(self, combined, split, k1, k):
+        B, N, _ = combined.shape
+        pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+        d_full = jnp.sum(
+            (combined[:, :, None] - combined[:, None, :, :]) ** 2, -1
+        )
+        out = []
+        for lo, hi, kk in ((0, split, k1), (split, N, k - k1)):
+            valid = (pos >= lo) & (pos < hi)
+            dm = jnp.where(valid[:, None, :], d_full, jnp.inf)
+            _, ik = jax.lax.top_k(-dm, k)
+            out.append(np.asarray(ik))
+        return out
+
+    def test_two_winners_exact_config(self, rng):
+        """bucket=2 + winners=2 keeps EVERY key as a candidate => the
+        emitted per-segment sets must match exact kNN."""
+        from pci_tpu.ops.pallas_kernels import knn_fusion_adaptive
+
+        B, N, k = 1, 2048, 8
+        split, k1 = 1024, 5
+        combined = cloud(rng, B, N, scale=3.0)
+        idx, resi = knn_fusion_adaptive(
+            combined, jnp.asarray([split], jnp.int32),
+            jnp.asarray([k1], jnp.int32), k, 2, False, True,
+            winners=2, interpret=True,
+        )
+        refA, refB = self._exact_ref(combined, split, k1, k)
+        gi = np.asarray(idx)
+        np.testing.assert_array_equal(
+            np.sort(gi[:, :, :k1], -1), np.sort(refA[:, :, :k1], -1)
+        )
+        np.testing.assert_array_equal(
+            np.sort(gi[:, :, k1:], -1), np.sort(refB[:, :, : k - k1], -1)
+        )
+        nn_pts = jax.vmap(lambda p, i: p[i])(combined, idx)
+        np.testing.assert_allclose(
+            np.asarray(resi),
+            np.asarray(nn_pts - combined[:, :, None, :]), atol=1e-6,
+        )
+
+    def test_two_winners_beats_one_at_same_rows(self, rng):
+        """(l=32, W=2) must not lose recall vs (l=16, W=1) — same
+        extraction row count, better collision tolerance."""
+        from pci_tpu.ops.pallas_kernels import knn_fusion_adaptive
+
+        B, N, k = 1, 2048, 16
+        split, k1 = 1024, 8
+        # clustered cloud: collisions actually happen
+        centers = rng.standard_normal((32, 3)) * 5
+        pts = (
+            centers[rng.integers(0, 32, N)]
+            + rng.standard_normal((N, 3)) * 0.3
+        ).astype(np.float32)
+        combined = jnp.asarray(pts)[None]
+        refA, refB = self._exact_ref(combined, split, k1, k)
+        ref = np.concatenate([refA[:, :, :k1], refB[:, :, : k - k1]], -1)
+
+        def recall(bucket, winners):
+            idx = knn_fusion_adaptive(
+                combined, jnp.asarray([split], jnp.int32),
+                jnp.asarray([k1], jnp.int32), k, bucket, False, True,
+                winners=winners, interpret=True,
+            )[0]
+            hits = 0
+            gi = np.asarray(idx)
+            for q in range(N):
+                hits += len(set(gi[0, q]) & set(ref[0, q]))
+            return hits / (N * k)
+
+        r1 = recall(16, 1)
+        r2 = recall(32, 2)
+        assert r2 >= r1 - 0.005, (r1, r2)
