@@ -10,9 +10,14 @@ worker mid-way through a full-model profile.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import numpy as np
+
+# runnable both as `python benchmarks/probe_kernels.py` and `python -m`
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def probe(label, fn):
@@ -30,6 +35,9 @@ def main(interpret=False):
 
     ip = False
     if interpret:  # TPU-faithful interpreter (CPU smoke of this script)
+        # force CPU BEFORE touching devices: with a wedged axon worker the
+        # PJRT client creation hangs forever (r3 failure mode)
+        jax.config.update("jax_platforms", "cpu")
         from jax.experimental.pallas import tpu as pltpu
 
         ip = pltpu.InterpretParams()
@@ -97,6 +105,29 @@ def main(interpret=False):
 
         probe("knn (packed-key)", lambda: ops.knn(comb2, comb2, 16)[1])
         probe("fps_points", lambda: ops.fps_points(comb2, 512, 0))
+
+    # r4: key_valid-masked cells kNN (the 64k fusion route's engine) and
+    # the W-winners fusion bucket phase — tiny bounded shapes
+    from pci_tpu.ops.pallas_kernels.knn_cells_tpu import knn_cells
+
+    comb3 = jnp.asarray((rng.normal(size=(1, 2048, 3)) * 3).astype(f32))
+    vmask = jnp.arange(2048, dtype=jnp.int32)[None, :] < 1024
+    probe("knn_cells (key_valid mask)", lambda: knn_cells(
+        comb3, comb3, 8, chunk=512, m_chunks=4, tile=128,
+        key_valid=vmask, emit_resi=True, interpret=ip)[1])
+    if not interpret:
+        from pci_tpu.ops.pallas_kernels import knn_fusion_adaptive as kfa
+
+        probe("knn_fusion_adaptive (winners=2)", lambda: kfa(
+            comb3, jnp.asarray([1024], jnp.int32),
+            jnp.asarray([8], jnp.int32), 16, 64, winners=2)[0])
+
+        from pci_tpu.nn.fusion import _cells_fusion_knn
+
+        probe("cells fusion route (2 seg)", lambda: _cells_fusion_knn(
+            comb3, jnp.asarray([[1024, 2048]], jnp.int32),
+            jnp.asarray([[8, 8]], jnp.int32), 16,
+            chunk=512, m_chunks=4, tile=128))
 
     from pci_tpu.ops.pallas_kernels.attention_tpu import (
         fused_vector_attention,

@@ -1,0 +1,260 @@
+"""Round-4 A/B measurements: attribute ms to each routed kernel.
+
+VERDICT r3 item 3: the r3 fused kernels (setconv / knnconv / fusion_tail)
+were parity-tested but never perf-measured end-to-end.  This script times
+each model with each kernel gate flipped OFF in-process (the gates are
+module-level functions — monkeypatching + re-jitting gives the XLA
+fallback), so every routing decision gets a measured justification.
+
+Sections (run bounded subsets with --sections):
+  flownet  — FlowNet3D eval @16k: all-on vs setconv-off vs knnconv-off
+  pointinet— PointINet @16k: all-on vs fusion_tail-off
+  fusionab — standalone fusion kNN: (bucket, winners) grid, ms + recall
+  cells64k — 64k fusion kNN: flat kernel vs cells route, ms + agreement
+
+Timing: slope recipe (two scan lengths, value-fetch sync) — CLAUDE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _slope(fn, args, reps, label):
+    import jax
+    import jax.numpy as jnp
+
+    def make(length):
+        @jax.jit
+        def run(seed, args):
+            def body(carry, _):
+                out = fn(*args, carry)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                red = jnp.sum(leaf.astype(jnp.float32) ** 2) ** 0.5
+                return carry * 1e-6 + 1e-6 * red, None
+
+            carry, _ = jax.lax.scan(body, seed, None, length=length)
+            return carry
+
+        return run
+
+    lo, hi = make(reps), make(5 * reps)
+    float(lo(jnp.float32(0.0), args))
+    float(hi(jnp.float32(0.0), args))
+    t0 = time.perf_counter()
+    float(lo(jnp.float32(1.0), args))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(hi(jnp.float32(1.0), args))
+    dt = (time.perf_counter() - t0 - t_lo) / (4 * reps) * 1e3
+    print(f"{label:52s} {dt:8.3f} ms", flush=True)
+    return dt
+
+
+def _real_pair(npoints):
+    base = "/root/reference/Demos/20230508test/demo_data/Inputs/"
+    import jax.numpy as jnp
+
+    if os.path.isdir(base):
+        def load(name, seed):
+            pts = np.fromfile(base + name, np.float32).reshape(-1, 5)[:, :3]
+            idx = np.random.default_rng(seed).choice(
+                len(pts), npoints, replace=len(pts) < npoints)
+            return pts[idx]
+
+        return jnp.asarray(load("key_1.bin", 0)), jnp.asarray(load("key_2.bin", 1))
+    rng = np.random.default_rng(0)
+    a = (rng.standard_normal((npoints, 3)) * 10).astype(np.float32)
+    return jnp.asarray(a), jnp.asarray(a + 0.3)
+
+
+def section_flownet(reps, npoints=16384):
+    import jax
+    import jax.numpy as jnp
+
+    from pci_tpu import nn as pnn
+    from pci_tpu.models import FlowNet3D
+
+    p1, p2 = _real_pair(npoints)
+    p1, p2 = p1[None], p2[None]
+    f0 = jnp.zeros_like(p1)
+    model = FlowNet3D()
+    mv = jax.jit(lambda: model.init(
+        {"params": jax.random.key(0)}, p1, p2, f0, f0, train=False))()
+
+    def run_config(label, setconv, knnconv):
+        import pci_tpu.nn.layers as L
+
+        orig_s, orig_k = L._setconv_ok, L._knnconv_ok
+        if not setconv:
+            L._setconv_ok = lambda *a, **k: False
+        if not knnconv:
+            L._knnconv_ok = lambda *a, **k: False
+        try:
+            return _slope(
+                lambda v, a, b, c: model.apply(
+                    v, a + c, b, jnp.zeros_like(a), jnp.zeros_like(a),
+                    train=False),
+                (mv, p1, p2), reps, f"FlowNet3D @16k [{label}]",
+            )
+        finally:
+            L._setconv_ok, L._knnconv_ok = orig_s, orig_k
+
+    base = run_config("setconv+knnconv ON ", True, True)
+    no_s = run_config("setconv OFF        ", False, True)
+    no_k = run_config("knnconv OFF        ", True, False)
+    none = run_config("both OFF (pure XLA)", False, False)
+    print(f"  -> setconv saves {no_s - base:+.3f} ms, knnconv saves "
+          f"{no_k - base:+.3f} ms, both save {none - base:+.3f} ms",
+          flush=True)
+
+
+def section_pointinet(reps, npoints=16384):
+    import jax
+    import jax.numpy as jnp
+
+    from pci_tpu.models import PointINet
+
+    p1, p2 = _real_pair(npoints)
+    p1, p2 = p1[None], p2[None]
+    zeros = jnp.zeros_like(p1)
+    t = jnp.asarray([0.5], jnp.float32)
+    model = PointINet(freeze_flow=True)
+    mv = jax.jit(lambda: model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        p1, p2, zeros, zeros, t, train=False))()
+
+    def run_config(label, tail_on):
+        import pci_tpu.nn.fusion as F
+
+        orig = F._fusion_tail_ok
+        if not tail_on:
+            F._fusion_tail_ok = lambda train: False
+        try:
+            return _slope(
+                lambda v, a, b, tt, c: model.apply(
+                    v, a + c, b, jnp.zeros_like(a), jnp.zeros_like(a), tt,
+                    train=False, rngs={"sample": jax.random.key(2)}),
+                (mv, p1, p2, t), reps, f"PointINet @16k [{label}]",
+            )
+        finally:
+            F._fusion_tail_ok = orig
+
+    base = run_config("fusion_tail ON ", True)
+    off = run_config("fusion_tail OFF", False)
+    print(f"  -> fusion_tail saves {off - base:+.3f} ms", flush=True)
+
+
+def _combined_16k(npoints=16384):
+    import jax.numpy as jnp
+
+    p1, p2 = _real_pair(npoints)
+    half = npoints // 2
+    return jnp.concatenate([p1[:half], p2[:half]], axis=0)[None], half
+
+
+def section_fusionab(reps, npoints=16384):
+    import jax
+    import jax.numpy as jnp
+
+    from pci_tpu.ops.pallas_kernels import knn_fusion_adaptive
+
+    k, k1v = 32, 16
+    combined, half = _combined_16k(npoints)
+    split = jnp.asarray([half], jnp.int32)
+    k1 = jnp.asarray([k1v], jnp.int32)
+
+    # exact per-segment reference (one-time, ~0.5 s of top_k)
+    N = combined.shape[1]
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    d_full = jax.jit(lambda c: jnp.sum(
+        (c[:, :, None] - c[:, None, :, :]) ** 2, -1))(combined)
+    refs = []
+    for lo, hi, kk in ((0, half, k1v), (half, N, k - k1v)):
+        dm = jnp.where(((pos >= lo) & (pos < hi))[:, None, :], d_full, np.inf)
+        refs.append(np.asarray(jax.lax.top_k(-dm, kk)[1]))
+    ref = np.concatenate(refs, axis=-1)
+    del d_full
+
+    for bucket, winners in ((32, 1), (64, 1), (64, 2), (128, 2)):
+        idx = knn_fusion_adaptive(
+            combined, split, k1, k, bucket, False, True, winners=winners)[0]
+        gi = np.asarray(idx)
+        hits = sum(
+            len(set(gi[0, q]) & set(ref[0, q])) for q in range(0, N, 7)
+        )
+        rec = hits / (len(range(0, N, 7)) * k)
+        ms = _slope(
+            lambda s, kk, c: knn_fusion_adaptive(
+                combined + c, s, kk, k, bucket, False, False,
+                winners=winners),
+            (split, k1), reps,
+            f"fusion kNN 16k l={bucket} W={winners} (recall {rec:.3f})",
+        )
+
+
+def section_cells64k(reps, npoints=65536):
+    import jax
+    import jax.numpy as jnp
+
+    from pci_tpu.nn.fusion import _cells_fusion_knn
+    from pci_tpu.ops.pallas_kernels import knn_fusion_adaptive
+
+    k = 32
+    combined, half = _combined_16k(npoints)
+    split = jnp.asarray([half], jnp.int32)
+    k1 = jnp.asarray([16], jnp.int32)
+    seg_ends = jnp.asarray([[half, npoints]], jnp.int32)
+    budgets = jnp.asarray([[16, 16]], jnp.int32)
+
+    # NOTE: 64k Mosaic compiles take ~10 min EACH — keep every variant in
+    # this one process (CLAUDE.md r2)
+    flat = _slope(
+        lambda s, kk, c: knn_fusion_adaptive(
+            combined + c, s, kk, k, 64, False, False, winners=1),
+        (split, k1), max(reps // 4, 3), "fusion kNN 64k FLAT l=64",
+    )
+    cells = _slope(
+        lambda se, bu, c: _cells_fusion_knn(combined + c, se, bu, k),
+        (seg_ends, budgets), max(reps // 4, 3), "fusion kNN 64k CELLS",
+    )
+
+    # neighbor agreement (cells vs flat; both approximate)
+    fi = np.asarray(knn_fusion_adaptive(
+        combined, split, k1, k, 64, False, True, winners=1)[0])
+    ci = np.asarray(_cells_fusion_knn(
+        combined, seg_ends, budgets, k, emit_idx=True)[0])
+    qs = range(0, npoints, 31)
+    agree = sum(len(set(fi[0, q]) & set(ci[0, q])) for q in qs) / (len(list(qs)) * k)
+    print(f"  -> flat {flat:.2f} ms vs cells {cells:.2f} ms; "
+          f"neighbor agreement {agree:.3f}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sections", nargs="+",
+                    default=["flownet", "pointinet", "fusionab"],
+                    choices=["flownet", "pointinet", "fusionab", "cells64k"])
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--npoints", type=int, default=0,
+                    help="override point count (CPU smoke)")
+    args = ap.parse_args()
+
+    import jax
+
+    print("device:", jax.devices()[0].platform, flush=True)
+    for s in args.sections:
+        print(f"--- {s} ---", flush=True)
+        kw = {"npoints": args.npoints} if args.npoints else {}
+        globals()[f"section_{s}"](args.reps, **kw)
+
+
+if __name__ == "__main__":
+    main()

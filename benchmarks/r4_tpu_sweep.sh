@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-4 TPU measurement sweep.  Run serially (one chip).  Every stage is
+# bounded: the r3 sweep wedged the axon worker mid-profile, so tiny probes
+# gate every heavier stage and each stage has a hard timeout.
+#
+#   bash benchmarks/r4_tpu_sweep.sh [stage...]   # default: all stages
+#
+# Stages: probes tests ab table6 cells64k train emd flownet isapci bench
+set -x
+cd "$(dirname "$0")/.."
+STAGES="${@:-probes tests ab table6 cells64k train emd flownet isapci bench}"
+LOG=results/logs/r4_sweep_$(date +%m%d_%H%M)
+mkdir -p "$LOG"
+
+run() { # run <name> <timeout> <cmd...>
+  local name=$1 to=$2; shift 2
+  timeout "$to" "$@" 2>&1 | tee "$LOG/$name.log" | tail -20
+  local rc=${PIPESTATUS[0]}
+  echo "stage $name rc=$rc" | tee -a "$LOG/summary.txt"
+  return $rc
+}
+
+for s in $STAGES; do case $s in
+  probes)   run probes 900 python benchmarks/probe_kernels.py || exit 1 ;;
+  tests)    run tests 2400 env PCI_TPU_TESTS=1 python -m pytest tests/test_pallas_tpu.py -x -q ;;
+  ab)       run ab 2400 python -m benchmarks.r4_ab_kernels --sections flownet pointinet fusionab ;;
+  table6)   run table6 3600 python -m benchmarks.profile_models --table6 ;;
+  cells64k) run cells64k 3600 python -m benchmarks.r4_ab_kernels --sections cells64k ;;
+  train)    run train 2400 python -m benchmarks.bench_train ;;
+  emd)      run emd 2400 python -m benchmarks.bench_emd --sizes 16384 --eps 1e-3 ;;
+  flownet)  run flownet 2400 python -m benchmarks.profile_flownet ;;
+  isapci)   run isapci 2400 python -m benchmarks.profile_isapci --policy bfloat16 ;;
+  bench)    run bench 1800 python bench.py ;;
+esac; done
+echo "sweep done; logs in $LOG"
