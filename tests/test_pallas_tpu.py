@@ -700,3 +700,147 @@ class TestBallPallasTpu:
         (nxyz, nf), _ = sa.apply(vars_, xyz, None, train=False, mutable=[])
         assert nf.shape == (1, 128, 32)
         assert np.isfinite(np.asarray(nf)).all()
+
+
+@requires_tpu
+class TestMaskedCellsTpu:
+    """key_valid-restricted knn_cells (the 64k fusion route engine, r4)."""
+
+    def _clustered(self, rng, N=12288):
+        centers = rng.uniform(-30, 30, (24, 3))
+        pts = np.concatenate(
+            [c + rng.standard_normal((N // 24, 3)) for c in centers]
+        ).astype(np.float32)[None]
+        return jnp.asarray(pts)
+
+    def test_masked_recall_vs_exact(self, rng):
+        from pci_tpu import ops
+        from pci_tpu.ops.pallas_kernels.knn_cells_tpu import knn_cells
+
+        p = self._clustered(rng)
+        N = p.shape[1]
+        split = (N * 5) // 8
+        pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+        k = 16
+        for valid in (pos < split, pos >= split):
+            dm = jnp.where(
+                valid[:, None, :],
+                ops.square_distance(p, p), np.inf,
+            )
+            i_ref = np.asarray(jax.lax.top_k(-dm, k)[1])
+            d, idx, resi = knn_cells(
+                p, p, k, m_chunks=12, tile=256, emit_resi=True,
+                key_valid=valid,
+            )
+            idx = np.asarray(idx)
+            v = np.asarray(valid)[0]
+            assert v[idx[0].ravel()].all(), "out-of-segment neighbor"
+            recall = np.mean([
+                len(set(idx[0, i]) & set(i_ref[0, i])) / k
+                for i in range(N)
+            ])
+            assert recall >= 0.95, recall
+            # own-segment queries keep their self-point (covering chunk)
+            qmask = v
+            self_hit = (idx[0, qmask, 0] == np.arange(N)[qmask]).mean()
+            assert self_hit >= 0.99, self_hit
+
+    def test_starved_mask_emits_sentinels(self, rng):
+        from pci_tpu.ops.pallas_kernels.knn_cells_tpu import knn_cells
+
+        p = self._clustered(rng)
+        N = p.shape[1]
+        pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+        valid = pos < 4  # only 4 valid keys, k=16
+        d, idx = knn_cells(p, p, 16, m_chunks=12, tile=256,
+                           key_valid=valid)
+        d = np.asarray(d)
+        assert (np.sort(d, -1)[:, :, 4:] > 1e29).all()
+
+
+@requires_tpu
+class TestCellsFusionRouteTpu:
+    def test_vs_flat_kernel_32k_real(self, rng):
+        """Cells-route fusion kNN vs the flat fused kernel on a real
+        LiDAR pair at 32k: per-query neighbor agreement must be high
+        (both approximate, different approximations)."""
+        import os
+
+        from pci_tpu.nn.fusion import _cells_fusion_knn
+        from pci_tpu.ops.pallas_kernels import knn_fusion_adaptive
+
+        base = "/root/reference/Demos/20230508test/demo_data/Inputs/"
+        N, k = 32768, 32
+        if os.path.isdir(base):
+            def load(name, seed):
+                pts = np.fromfile(base + name, np.float32).reshape(-1, 5)[:, :3]
+                sel = np.random.default_rng(seed).choice(
+                    len(pts), N // 2, replace=len(pts) < N // 2)
+                return pts[sel]
+
+            a, b = load("key_1.bin", 0), load("key_2.bin", 1)
+        else:
+            a = rng.standard_normal((N // 2, 3)).astype(np.float32) * 10
+            b = a + 0.3
+        combined = jnp.asarray(np.concatenate([a, b], 0))[None]
+        half = N // 2
+        fi = np.asarray(knn_fusion_adaptive(
+            combined, jnp.asarray([half], jnp.int32),
+            jnp.asarray([16], jnp.int32), k, 32, False, True)[0])
+        ci, cr = _cells_fusion_knn(
+            combined, jnp.asarray([[half, N]], jnp.int32),
+            jnp.asarray([[16, 16]], jnp.int32), k, emit_idx=True)
+        ci = np.asarray(ci)
+        qs = list(range(0, N, 17))
+        agree = np.mean([
+            len(set(fi[0, q]) & set(ci[0, q])) / k for q in qs
+        ])
+        assert agree >= 0.85, agree
+        # residual self-consistency
+        from pci_tpu import ops
+        nn = np.asarray(ops.index_points(combined, jnp.asarray(ci)))
+        np.testing.assert_allclose(
+            np.asarray(cr), nn - np.asarray(combined)[:, :, None, :],
+            atol=1e-5,
+        )
+
+
+@requires_tpu
+class TestFusionWinnersTpu:
+    def test_recall_vs_single_winner_16k(self, rng):
+        """(l=64, W=2) must beat (l=32, W=1) recall at equal extraction
+        rows on LiDAR-like data (the r4 extraction-cost lever)."""
+        from pci_tpu import ops
+        from pci_tpu.ops.pallas_kernels import knn_fusion_adaptive
+
+        N, k = 16384, 32
+        centers = rng.uniform(-30, 30, (32, 3))
+        pts = np.concatenate(
+            [c + rng.standard_normal((N // 32, 3)) for c in centers]
+        ).astype(np.float32)
+        rng.shuffle(pts, axis=0)
+        combined = jnp.asarray(pts)[None]
+        half = N // 2
+        split = jnp.asarray([half], jnp.int32)
+        k1 = jnp.asarray([16], jnp.int32)
+        pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+        refs = []
+        d_full = ops.square_distance(combined, combined)
+        for lo, hi in ((0, half), (half, N)):
+            dm = jnp.where(
+                ((pos >= lo) & (pos < hi))[:, None, :], d_full, np.inf)
+            refs.append(np.asarray(jax.lax.top_k(-dm, 16)[1]))
+        ref = np.concatenate(refs, -1)
+
+        def recall(bucket, winners):
+            idx = np.asarray(knn_fusion_adaptive(
+                combined, split, k1, k, bucket, False, True,
+                winners=winners)[0])
+            qs = list(range(0, N, 13))
+            return np.mean([
+                len(set(idx[0, q]) & set(ref[0, q])) / k for q in qs
+            ])
+
+        r_32_1 = recall(32, 1)
+        r_64_2 = recall(64, 2)
+        assert r_64_2 >= r_32_1 - 0.01, (r_32_1, r_64_2)
