@@ -47,19 +47,24 @@ def main():
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--policy", default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from pci_tpu import ops
+    from pci_tpu.nn import policy
     from pci_tpu.models import ISAPCInet, PointINet
+
+    policy.set_compute_dtype(args.policy)
     from pci_tpu.train import (
         create_train_state, make_interp_train_step, make_optimizer,
     )
 
     B, N, field = args.batch, args.npoints, args.field
-    print(f"device={jax.devices()[0].platform} B={B} N={N} field={field}",
+    print(f"device={jax.devices()[0].platform} B={B} N={N} field={field} policy={args.policy}",
           flush=True)
     rng = np.random.default_rng(0)
 

@@ -67,6 +67,19 @@ def add_common_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--log_every", type=int, default=10,
                    help="sync loss device->host every N steps (per-step "
                         "sync would stall the async dispatch pipeline)")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="activation compute dtype (nn/policy.py): bf16 "
+                        "halves the HBM-bound [B,N,k,C] tensor traffic; "
+                        "params + geometry + norm stats stay fp32")
+
+
+def apply_compute_dtype(args) -> None:
+    """Set the activation policy from the common flag BEFORE any model is
+    built (the dtype is read at trace time)."""
+    from ..nn import policy
+
+    policy.set_compute_dtype(getattr(args, "compute_dtype", "float32"))
 
 
 def add_nuscenes_flags(p: argparse.ArgumentParser):

@@ -36,6 +36,8 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from .common import apply_compute_dtype
+    apply_compute_dtype(args)
     dataset = NuscenesInterpolationDataset(
         root=args.root, scenes_list=args.scenes_list,
         scene_split_lib=args.scene_split_lib, field=args.field,

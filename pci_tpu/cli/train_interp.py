@@ -74,6 +74,8 @@ def make_train_step(model, optimizer):
 
 def main(argv=None):
     args = parse_args(argv)
+    from .common import apply_compute_dtype
+    apply_compute_dtype(args)
     if args.dataset_name == "kitti":
         dataset = KittiInterpolationDataset(
             args.root, npoints=args.npoints, interval=args.interval,

@@ -72,6 +72,8 @@ def build_dataset(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    from .common import apply_compute_dtype
+    apply_compute_dtype(args)
     supervised = args.train_type == "init"
     dataset = build_dataset(args)
     loader = Loader(dataset, args.batch_size, shuffle=True, num_workers=8, seed=args.seed)

@@ -683,13 +683,19 @@ class TestCellsFusionRoute:
         gi, wi = np.asarray(idx), np.asarray(want_i)
         bud = np.asarray(budgets)
         B = gi.shape[0]
+        pts = np.asarray(combined)
         for b in range(B):
             cum = 0
             for j in range(bud.shape[1]):
                 bj = int(bud[b, j])
-                np.testing.assert_array_equal(
-                    np.sort(gi[b, :, cum:cum + bj], axis=-1),
-                    np.sort(wi[b, :, cum:cum + bj], axis=-1),
+                # extraction ranking is packed-key-quantized: a near-tie
+                # at the block boundary may swap indices — compare the
+                # neighbor DISTANCE multisets (exact up to quantization)
+                q = pts[b][:, None, :]
+                dg = np.sort(((pts[b][gi[b, :, cum:cum + bj]] - q) ** 2).sum(-1), -1)
+                dr = np.sort(((pts[b][wi[b, :, cum:cum + bj]] - q) ** 2).sum(-1), -1)
+                np.testing.assert_allclose(
+                    dg, dr, rtol=3e-3, atol=1e-6,
                     err_msg=f"batch {b} segment {j}",
                 )
                 cum += bj
@@ -748,8 +754,11 @@ class TestFusionKernelWinners:
         return out
 
     def test_two_winners_exact_config(self, rng):
-        """bucket=2 + winners=2 keeps EVERY key as a candidate => the
-        emitted per-segment sets must match exact kNN."""
+        """bucket=2 + winners=2 keeps EVERY key as a candidate.  The
+        extraction RANKING is still packed-key-quantized (~2^-12 rel
+        here), so a near-tie at the k-th boundary may swap in a neighbor
+        whose distance matches the true k-th to quantization — assert
+        distance-level correctness, not index identity."""
         from pci_tpu.ops.pallas_kernels import knn_fusion_adaptive
 
         B, N, k = 1, 2048, 8
@@ -762,12 +771,19 @@ class TestFusionKernelWinners:
         )
         refA, refB = self._exact_ref(combined, split, k1, k)
         gi = np.asarray(idx)
-        np.testing.assert_array_equal(
-            np.sort(gi[:, :, :k1], -1), np.sort(refA[:, :, :k1], -1)
-        )
-        np.testing.assert_array_equal(
-            np.sort(gi[:, :, k1:], -1), np.sort(refB[:, :, : k - k1], -1)
-        )
+        pts = np.asarray(combined)[0]
+
+        def seg_dists(ref_idx, got_idx, kk):
+            q = pts[:, None, :]
+            dr = np.sort(((pts[ref_idx[0, :, :kk]] - q) ** 2).sum(-1), -1)
+            dg = np.sort(((pts[got_idx] - q) ** 2).sum(-1), -1)
+            np.testing.assert_allclose(dg, dr, rtol=3e-3, atol=1e-6)
+
+        seg_dists(refA, gi[0, :, :k1], k1)
+        seg_dists(refB, gi[0, :, k1:], k - k1)
+        # segment membership is exact (masking is not quantized)
+        assert (gi[:, :, :k1] < split).all()
+        assert (gi[:, :, k1:] >= split).all()
         nn_pts = jax.vmap(lambda p, i: p[i])(combined, idx)
         np.testing.assert_allclose(
             np.asarray(resi),
