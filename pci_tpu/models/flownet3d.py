@@ -25,42 +25,89 @@ from ..nn.layers import (
 
 
 class FlowNet3D(nn.Module):
-    @nn.compact
-    def __call__(self, xyz1, xyz2, feats1, feats2, *, train: bool = False, momentum=0.1):
+    """Siamese encoder + cross-cloud embedding + up-conv decoder.
+
+    ``encode``/``decode`` are exposed separately because every caller
+    that needs multiple flow directions over a SHARED cloud set
+    (PointINet's two directions, ISAPCInet's 4*field fan-out over
+    field+... distinct frames, New_Models0.py:130-149) would otherwise
+    re-encode each cloud once per pair: the encoder weights are shared
+    and at eval the encoder is deterministic (FPS start fixed, BN running
+    stats), so per-cloud encodings are bit-identical across pairs.
+    ``multi``/``bidirectional`` are eval-path only: under ``train=True``
+    BN batch-stat update COUNTS differ from per-pair passes (callers
+    gate on the flow-freeze flag).
+    """
+
+    def setup(self):
+        self.set_conv1 = SetConv(1024, 0.5, 16, (32, 32, 64))
+        self.set_conv2 = SetConv(256, 1.0, 16, (64, 64, 128))
+        self.flow_embedding = FlowEmbedding(64, (128, 128, 128))
+        self.set_conv3 = SetConv(64, 2.0, 8, (128, 128, 256))
+        self.set_conv4 = SetConv(16, 4.0, 8, (256, 256, 512))
+        self.set_upconv1 = SetUpConv(8, (), (256, 256))
+        self.set_upconv2 = SetUpConv(8, (128, 128, 256), (256,))
+        self.set_upconv3 = SetUpConv(8, (128, 128, 256), (256,))
+        self.fp = FeaturePropagation((256, 256))
+        self.classifier = Classifier()
+
+    def encode(self, xyz, feats, *, train: bool = False, momentum=0.1):
+        """Two-level set-conv encoding of one cloud -> (xyz, feats,
+        p_1, f_1, p_2, f_2), reusable across every pair the cloud
+        appears in."""
+        kw = dict(train=train, momentum=momentum)
+        p_1, f_1 = self.set_conv1(xyz, feats, **kw)
+        p_2, f_2 = self.set_conv2(p_1, f_1, **kw)
+        return (xyz, feats, p_1, f_1, p_2, f_2)
+
+    def decode(self, enc_a, enc_b, *, train: bool = False, momentum=0.1):
+        """Flow a->b from the two clouds' encodings."""
+        kw = dict(train=train, momentum=momentum)
+        xyza, featsa, pa_1, fa_1, pa_2, fa_2 = enc_a
+        _, _, _, _, pb_2, fb_2 = enc_b
+        emb = self.flow_embedding(pa_2, pb_2, fa_2, fb_2, **kw)
+        pa_3, fa_3 = self.set_conv3(pa_2, emb, **kw)
+        pa_4, fa_4 = self.set_conv4(pa_3, fa_3, **kw)
+        nf_3 = self.set_upconv1(pa_4, pa_3, fa_4, fa_3, **kw)
+        nf_2 = self.set_upconv2(
+            pa_3, pa_2, nf_3, jnp.concatenate([fa_2, emb], axis=-1), **kw
+        )
+        nf_1 = self.set_upconv3(pa_2, pa_1, nf_2, fa_1, **kw)
+        nf = self.fp(pa_1, xyza, nf_1, featsa, **kw)
+        return self.classifier(nf, **kw)
+
+    def multi(self, clouds, feats, pairs, *, train: bool = False,
+              momentum=0.1):
+        """Flows for ``pairs`` of indices into ``clouds``: each cloud is
+        encoded ONCE (ISAPCInet field=2 runs 8 pairs over 6 distinct
+        clouds = 16 -> 6 encoder invocations)."""
+        encs = [
+            self.encode(c, f, train=train, momentum=momentum)
+            for c, f in zip(clouds, feats)
+        ]
+        return [
+            self.decode(encs[a], encs[b], train=train, momentum=momentum)
+            for a, b in pairs
+        ]
+
+    def __call__(self, xyz1, xyz2, feats1, feats2, *, train: bool = False,
+                 momentum=0.1, bidirectional: bool = False):
         """Estimate per-point scene flow from cloud1 to cloud2.
 
         Args:
           xyz1, xyz2: ``[B, N, 3]`` point clouds.
           feats1, feats2: ``[B, N, 3]`` features (colors for FlyThings3D,
             zeros for LiDAR).
+          bidirectional: also return the 2->1 flow, reusing both clouds'
+            encodings (see class docstring; eval-path only).
 
         Returns:
-          flow ``[B, N, 3]``.
+          flow ``[B, N, 3]``; ``(flow12, flow21)`` when bidirectional.
         """
-        kw = dict(train=train, momentum=momentum)
-        sc1 = SetConv(1024, 0.5, 16, (32, 32, 64), name="set_conv1")
-        sc2 = SetConv(256, 1.0, 16, (64, 64, 128), name="set_conv2")
-        fe = FlowEmbedding(64, (128, 128, 128), name="flow_embedding")
-        sc3 = SetConv(64, 2.0, 8, (128, 128, 256), name="set_conv3")
-        sc4 = SetConv(16, 4.0, 8, (256, 256, 512), name="set_conv4")
-        up1 = SetUpConv(8, (), (256, 256), name="set_upconv1")
-        up2 = SetUpConv(8, (128, 128, 256), (256,), name="set_upconv2")
-        up3 = SetUpConv(8, (128, 128, 256), (256,), name="set_upconv3")
-        fp = FeaturePropagation((256, 256), name="fp")
-
-        p1_1, f1_1 = sc1(xyz1, feats1, **kw)
-        p1_2, f1_2 = sc2(p1_1, f1_1, **kw)
-        p2_1, f2_1 = sc1(xyz2, feats2, **kw)
-        p2_2, f2_2 = sc2(p2_1, f2_1, **kw)
-
-        emb = fe(p1_2, p2_2, f1_2, f2_2, **kw)
-
-        p1_3, f1_3 = sc3(p1_2, emb, **kw)
-        p1_4, f1_4 = sc4(p1_3, f1_3, **kw)
-
-        nf1_3 = up1(p1_4, p1_3, f1_4, f1_3, **kw)
-        nf1_2 = up2(p1_3, p1_2, nf1_3, jnp.concatenate([f1_2, emb], axis=-1), **kw)
-        nf1_1 = up3(p1_2, p1_1, nf1_2, f1_1, **kw)
-        nf1 = fp(p1_1, xyz1, nf1_1, feats1, **kw)
-
-        return Classifier(name="classifier")(nf1, **kw)
+        e1 = self.encode(xyz1, feats1, train=train, momentum=momentum)
+        e2 = self.encode(xyz2, feats2, train=train, momentum=momentum)
+        flow12 = self.decode(e1, e2, train=train, momentum=momentum)
+        if not bidirectional:
+            return flow12
+        flow21 = self.decode(e2, e1, train=train, momentum=momentum)
+        return flow12, flow21

@@ -95,10 +95,16 @@ class ISAPCInet(nn.Module):
 
         if self.field == 0:
             # field-0 variant (New_Models_field_0.py): key-pair flows only
-            flow_fwd = flow(key_pcds[0], key_pcds[1], ini_feature, ini_feature,
-                            train=flow_train, momentum=momentum)
-            flow_bwd = flow(key_pcds[1], key_pcds[0], ini_feature, ini_feature,
-                            train=flow_train, momentum=momentum)
+            if not flow_train:  # shared Siamese encodings (FlowNet3D doc)
+                flow_fwd, flow_bwd = flow(
+                    key_pcds[0], key_pcds[1], ini_feature, ini_feature,
+                    train=False, momentum=momentum, bidirectional=True,
+                )
+            else:
+                flow_fwd = flow(key_pcds[0], key_pcds[1], ini_feature, ini_feature,
+                                train=flow_train, momentum=momentum)
+                flow_bwd = flow(key_pcds[1], key_pcds[0], ini_feature, ini_feature,
+                                train=flow_train, momentum=momentum)
             if self.freeze_flow:
                 flow_fwd = lax.stop_gradient(flow_fwd)
                 flow_bwd = lax.stop_gradient(flow_bwd)
@@ -120,16 +126,40 @@ class ISAPCInet(nn.Module):
             # the wide batch blows past VMEM pipelining in the gather/
             # top-k kernels, and compile is 8x slower).  Sequential also
             # matches the reference's per-call BN statistics.
-            flow_list = []
-            for p in plan:
-                f = flow(
-                    clouds(p[0], p[1]), clouds(p[2], p[3]),
-                    ini_feature, ini_feature,
-                    train=flow_train, momentum=momentum,
+            if not flow_train:
+                # one encoder invocation per DISTINCT cloud: field=2 runs
+                # 8 pairs over 6 distinct frames = 16 -> 6 encodings
+                # (FlowNet3D.multi; eval-deterministic encoder)
+                uniq: list = []
+                for p in plan:
+                    for kid in ((p[0], p[1]), (p[2], p[3])):
+                        if kid not in uniq:
+                            uniq.append(kid)
+                pairs = [
+                    (uniq.index((p[0], p[1])), uniq.index((p[2], p[3])))
+                    for p in plan
+                ]
+                fl = flow.multi(
+                    [clouds(k, i) for k, i in uniq],
+                    [ini_feature] * len(uniq), pairs,
+                    train=False, momentum=momentum,
                 )
-                if self.freeze_flow:
-                    f = lax.stop_gradient(f)
-                flow_list.append(f * p[4])
+                flow_list = []
+                for f, p in zip(fl, plan):
+                    if self.freeze_flow:
+                        f = lax.stop_gradient(f)
+                    flow_list.append(f * p[4])
+            else:
+                flow_list = []
+                for p in plan:
+                    f = flow(
+                        clouds(p[0], p[1]), clouds(p[2], p[3]),
+                        ini_feature, ini_feature,
+                        train=flow_train, momentum=momentum,
+                    )
+                    if self.freeze_flow:
+                        f = lax.stop_gradient(f)
+                    flow_list.append(f * p[4])
             flows = jnp.stack(flow_list)  # [4f, B, N, 3]
             n2f = 2 * self.field
             flows_fwd = jnp.moveaxis(flows[:n2f], 0, 1)  # [B, 2f, N, 3]
@@ -216,13 +246,32 @@ class PointINet2(nn.Module):
             # sequential ring flows (see ISAPCInet: sequential beats one
             # wide batched FlowNet3D pass on v5e)
             tb = t32[:, None, None]
+            if not flow_train:
+                # shared encodings: 2*field pairs over 2*field+2 distinct
+                # clouds (keys re-encoded per pair otherwise) — see
+                # FlowNet3D.multi
+                cl = (
+                    list(forward_pcds) + list(backward_pcds)
+                    + [key_pcds[0], key_pcds[1]]
+                )
+                k0, k1 = 2 * self.field, 2 * self.field + 1
+                pairs = []
+                for i in range(1, self.field + 1):
+                    pairs.append((self.field - i, k0))
+                    pairs.append((self.field + i - 1, k1))
+                fl = flow.multi(cl, [ini_feature] * len(cl), pairs,
+                                train=False, momentum=momentum)
             for i in range(1, self.field + 1):
-                ff = flow(forward_pcds[self.field - i], key_pcds[0],
-                          ini_feature, ini_feature,
-                          train=flow_train, momentum=momentum) / i
-                fb = flow(backward_pcds[i - 1], key_pcds[1],
-                          ini_feature, ini_feature,
-                          train=flow_train, momentum=momentum) / i
+                if not flow_train:
+                    ff = fl[2 * (i - 1)] / i
+                    fb = fl[2 * (i - 1) + 1] / i
+                else:
+                    ff = flow(forward_pcds[self.field - i], key_pcds[0],
+                              ini_feature, ini_feature,
+                              train=flow_train, momentum=momentum) / i
+                    fb = flow(backward_pcds[i - 1], key_pcds[1],
+                              ini_feature, ini_feature,
+                              train=flow_train, momentum=momentum) / i
                 if self.freeze_flow:
                     ff = lax.stop_gradient(ff)
                     fb = lax.stop_gradient(fb)

@@ -73,13 +73,29 @@ class ISAPCInetAsym(nn.Module):
         # better than one wide batched pass on v5e; see ISAPCInet)
         srcs = list(forward_pcds) + [key_pcd] * self.backward_field
         dsts = [key_pcd] * self.forward_field + list(backward_pcds)
-        flow_list = []
-        for s, d in zip(srcs, dsts):
-            f = flow(s, d, ini_feature, ini_feature,
-                     train=flow_train, momentum=momentum)
-            if self.freeze_flow:
-                f = lax.stop_gradient(f)
-            flow_list.append(f)
+        if not flow_train:
+            # shared encodings: f+b pairs over f+b+1 distinct clouds (the
+            # key frame appears in EVERY pair) — see FlowNet3D.multi
+            cl = list(forward_pcds) + [key_pcd] + list(backward_pcds)
+            ki = self.forward_field
+            pairs = [
+                (i, ki) for i in range(self.forward_field)
+            ] + [
+                (ki, ki + 1 + i) for i in range(self.backward_field)
+            ]
+            fl = flow.multi(cl, [ini_feature] * len(cl), pairs,
+                            train=False, momentum=momentum)
+            flow_list = [
+                lax.stop_gradient(f) if self.freeze_flow else f for f in fl
+            ]
+        else:
+            flow_list = []
+            for s, d in zip(srcs, dsts):
+                f = flow(s, d, ini_feature, ini_feature,
+                         train=flow_train, momentum=momentum)
+                if self.freeze_flow:
+                    f = lax.stop_gradient(f)
+                flow_list.append(f)
         # channel concat: [B, N, 3*(f+b)] in pair order
         input_flows = jnp.concatenate(flow_list, axis=-1)
 

@@ -43,8 +43,17 @@ class PointINet(nn.Module):
         # Batching them into one 2B pass was measured SLOWER on v5e
         # (35 vs 42+ fps at 16k): the batched kNN/ball-query kernels hit
         # VMEM limits at 2x width and pipeline worse than two narrow calls.
-        flow_forward = flow(xyz1, xyz2, feats1, feats2, train=flow_train, momentum=momentum)
-        flow_backward = flow(xyz2, xyz1, feats2, feats1, train=flow_train, momentum=momentum)
+        # With the flow frozen (the production/eval setting) the Siamese
+        # encoder is deterministic, so the bidirectional pass shares both
+        # clouds' set-conv encodings — one full two-cloud encoder saved.
+        if not flow_train:
+            flow_forward, flow_backward = flow(
+                xyz1, xyz2, feats1, feats2, train=False, momentum=momentum,
+                bidirectional=True,
+            )
+        else:
+            flow_forward = flow(xyz1, xyz2, feats1, feats2, train=flow_train, momentum=momentum)
+            flow_backward = flow(xyz2, xyz1, feats2, feats1, train=flow_train, momentum=momentum)
         if self.freeze_flow:
             flow_forward = lax.stop_gradient(flow_forward)
             flow_backward = lax.stop_gradient(flow_backward)

@@ -225,3 +225,42 @@ class TestPolyPCI:
         # the key cloud's bounding box.
         lo, hi = key.min(axis=1), key.max(axis=1)
         assert bool(jnp.all(out >= lo[:, None] - 1e-3) & jnp.all(out <= hi[:, None] + 1e-3))
+
+
+class TestBidirectionalFlow:
+    def test_matches_two_directional_passes(self):
+        """flow(bidirectional=True) must equal the two separate calls
+        bitwise at eval (shared Siamese encodings, same ops)."""
+        import numpy as np
+
+        from pci_tpu.models import FlowNet3D
+
+        rng = np.random.default_rng(5)
+        p1 = jnp.asarray(rng.standard_normal((1, 128, 3)).astype(np.float32) * 3)
+        p2 = jnp.asarray(rng.standard_normal((1, 128, 3)).astype(np.float32) * 3)
+        z = jnp.zeros_like(p1)
+        model = FlowNet3D()
+        v = model.init({"params": jax.random.key(0)}, p1, p2, z, z, train=False)
+        f12 = model.apply(v, p1, p2, z, z, train=False)
+        f21 = model.apply(v, p2, p1, z, z, train=False)
+        b12, b21 = model.apply(v, p1, p2, z, z, train=False, bidirectional=True)
+        np.testing.assert_array_equal(np.asarray(b12), np.asarray(f12))
+        np.testing.assert_array_equal(np.asarray(b21), np.asarray(f21))
+
+    def test_param_tree_identical(self):
+        """bidirectional init must produce the same checkpoint tree."""
+        import numpy as np
+
+        from pci_tpu.models import FlowNet3D
+
+        rng = np.random.default_rng(5)
+        p1 = jnp.asarray(rng.standard_normal((1, 64, 3)).astype(np.float32))
+        p2 = jnp.asarray(rng.standard_normal((1, 64, 3)).astype(np.float32))
+        z = jnp.zeros_like(p1)
+        model = FlowNet3D()
+        va = model.init({"params": jax.random.key(0)}, p1, p2, z, z, train=False)
+        vb = model.init({"params": jax.random.key(0)}, p1, p2, z, z,
+                        train=False, bidirectional=True)
+        ta = jax.tree_util.tree_structure(va)
+        tb = jax.tree_util.tree_structure(vb)
+        assert ta == tb
