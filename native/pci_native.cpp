@@ -9,6 +9,10 @@
 // Build: see native/build.sh (g++ -O3 -shared -fPIC).
 
 #include <cstdint>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 #include <cstring>
 #include <limits>
 #include <vector>
@@ -115,4 +119,84 @@ int64_t pci_voxel_downsample(const float* pts, int64_t n, int64_t stride,
   return kept;
 }
 
+// Load a float32 [.bin] scan of `width` columns and random-subsample to
+// `npoints` rows without replacement (wrap-pad when the scan is short),
+// writing [npoints, width] floats into `out`.  One mmap read (no python
+// -> numpy -> index round trip), partial Fisher-Yates with a
+// splitmix64-seeded xorshift generator (deterministic per seed), and an
+// OpenMP-parallel row copy.  Returns the scan's row count, or -1 on IO
+// failure (caller falls back to the numpy path).
+int64_t pci_load_scan(const char* path, int64_t width, int64_t npoints,
+                      uint64_t seed, float* out) {
+  if (width <= 0 || npoints <= 0) return -1;
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    return -1;
+  }
+  const int64_t n = st.st_size / (4 * width);
+  if (n <= 0) {
+    close(fd);
+    return -1;
+  }
+  const float* pts = static_cast<const float*>(
+      mmap(nullptr, static_cast<size_t>(st.st_size), PROT_READ, MAP_PRIVATE,
+           fd, 0));
+  if (pts == MAP_FAILED) {
+    close(fd);
+    return -1;
+  }
+
+  // splitmix64 -> xorshift128+ state
+  uint64_t s = seed + 0x9E3779B97F4A7C15ull;
+  auto mix = [&s]() {
+    s += 0x9E3779B97F4A7C15ull;
+    uint64_t z = s;
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+    return z ^ (z >> 31);
+  };
+  uint64_t s0 = mix(), s1 = mix();
+  auto next_u64 = [&s0, &s1]() {
+    uint64_t x = s0;
+    const uint64_t y = s1;
+    s0 = y;
+    x ^= x << 23;
+    s1 = x ^ y ^ (x >> 17) ^ (y >> 26);
+    return s1 + y;
+  };
+
+  std::vector<int32_t> idx;
+  if (n >= npoints) {
+    // partial Fisher-Yates: first `npoints` entries of a shuffle of [0,n)
+    idx.resize(static_cast<size_t>(n));
+    for (int64_t j = 0; j < n; ++j) idx[j] = static_cast<int32_t>(j);
+    for (int64_t j = 0; j < npoints; ++j) {
+      const int64_t r = j + static_cast<int64_t>(next_u64() % (n - j));
+      std::swap(idx[j], idx[r]);
+    }
+  } else {
+    // all rows then wrap-pad with random picks (reference protocol)
+    idx.resize(static_cast<size_t>(npoints));
+    for (int64_t j = 0; j < n; ++j) idx[j] = static_cast<int32_t>(j);
+    for (int64_t j = n; j < npoints; ++j)
+      idx[j] = static_cast<int32_t>(next_u64() % n);
+  }
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t j = 0; j < npoints; ++j) {
+    std::memcpy(out + j * width, pts + static_cast<int64_t>(idx[j]) * width,
+                static_cast<size_t>(width) * sizeof(float));
+  }
+
+  munmap(const_cast<float*>(pts), static_cast<size_t>(st.st_size));
+  close(fd);
+  return n;
+}
+
 }  // extern "C"
+

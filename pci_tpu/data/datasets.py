@@ -28,6 +28,7 @@ from .lidar import (
     random_subsample,
     read_kitti_bin,
     read_nuscenes_bin,
+    read_subsample,
     subsample,
 )
 
@@ -256,8 +257,7 @@ class KittiInterpolationDataset:
             ini = end
 
     def _cloud(self, idx):
-        pc = read_kitti_bin(self.paths[idx])
-        pc = random_subsample(pc, self.npoints, self.rng)
+        pc = read_subsample(self.paths[idx], 4, self.npoints, self.rng)
         return pc if self.use_intensity else pc[:, :3]
 
     def __len__(self):
@@ -314,8 +314,10 @@ class NuscenesTripletDataset:
                 ini = end
 
     def _cloud(self, fn):
-        pc = read_nuscenes_bin(os.path.join(self.root, fn))[:, :4]
-        pc = random_subsample(pc, self.npoints, self.rng)
+        pc = read_subsample(
+            os.path.join(self.root, fn), 5, self.npoints, self.rng,
+            channels=4,
+        )
         return pc if self.use_intensity else pc[:, :3]
 
     def __len__(self):
@@ -449,11 +451,11 @@ class KittiOdometrySceneflow:
             bias = int(self.rng.integers(-self.max_bias, self.max_bias + 1))
             if bias == 0:
                 bias = 1
-        p1 = read_kitti_bin(self.paths[index])[:, :3]
-        p2 = read_kitti_bin(self.paths[index + bias])[:, :3]
+        p1 = read_subsample(self.paths[index], 4, self.npoints, self.rng, channels=3)
+        p2 = read_subsample(self.paths[index + bias], 4, self.npoints, self.rng, channels=3)
         return {
-            "points1": random_subsample(p1, self.npoints, self.rng).astype(np.float32),
-            "points2": random_subsample(p2, self.npoints, self.rng).astype(np.float32),
+            "points1": p1.astype(np.float32),
+            "points2": p2.astype(np.float32),
             "feats1": np.zeros((self.npoints, 3), np.float32),
             "feats2": np.zeros((self.npoints, 3), np.float32),
         }
@@ -488,11 +490,11 @@ class NuScenesFlowPairs:
 
     def __getitem__(self, index):
         f1, f2 = self.pairs[index]
-        p1 = read_nuscenes_bin(os.path.join(self.root, f1))[:, :3]
-        p2 = read_nuscenes_bin(os.path.join(self.root, f2))[:, :3]
+        p1 = read_subsample(os.path.join(self.root, f1), 5, self.npoints, self.rng, channels=3)
+        p2 = read_subsample(os.path.join(self.root, f2), 5, self.npoints, self.rng, channels=3)
         return {
-            "points1": random_subsample(p1, self.npoints, self.rng).astype(np.float32),
-            "points2": random_subsample(p2, self.npoints, self.rng).astype(np.float32),
+            "points1": p1.astype(np.float32),
+            "points2": p2.astype(np.float32),
             "feats1": np.zeros((self.npoints, 3), np.float32),
             "feats2": np.zeros((self.npoints, 3), np.float32),
         }

@@ -7,9 +7,18 @@ nuScenes ``.bin`` = float32 x5.  Layout here is channels-last ``[N, C]``.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from . import native
+
+# Opt-in native IO: the fused mmap-load + Fisher-Yates subsample skips the
+# full-scan numpy materialization + fancy-index round trip of the python
+# path.  Default OFF so seeded sampling streams (goldens, accuracy gates)
+# stay bit-stable; enable with PCI_TPU_NATIVE_IO=1.
+def _native_io() -> bool:
+    return os.environ.get("PCI_TPU_NATIVE_IO", "0") == "1"
 
 
 def read_kitti_bin(path: str) -> np.ndarray:
@@ -25,6 +34,30 @@ def read_nuscenes_bin(path: str) -> np.ndarray:
 def read_result_bin(path: str, channels: int = 3) -> np.ndarray:
     """Saved interpolation result (float32 x3, or x4 with intensity)."""
     return np.fromfile(path, dtype=np.float32).reshape(-1, channels)
+
+
+def read_subsample(
+    path: str,
+    width: int,
+    npoints: int,
+    rng: np.random.Generator,
+    channels: int | None = None,
+) -> np.ndarray:
+    """Load a float32 scan and random-subsample to ``npoints`` rows (the
+    dataset ``__getitem__`` hot pattern, reference
+    Dataset/InterpolationData.py:60-77) — one native call when
+    ``PCI_TPU_NATIVE_IO=1`` (C++ mmap + partial Fisher-Yates + OpenMP
+    copy, native/pci_native.cpp), numpy otherwise.  ``channels`` keeps
+    the leading columns after load.  Deterministic given ``rng`` state on
+    both paths (the native path consumes one draw as its seed)."""
+    if _native_io():
+        out = native.load_scan(path, width, npoints, int(rng.integers(2**63)))
+        if out is not None:
+            return out if channels is None else out[:, :channels]
+    pts = np.fromfile(path, dtype=np.float32).reshape(-1, width)
+    if channels is not None:
+        pts = pts[:, :channels]
+    return random_subsample(pts, npoints, rng)
 
 
 def random_subsample(

@@ -50,6 +50,11 @@ def _load():
             ctypes.c_float, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ]
         lib.pci_voxel_downsample.restype = ctypes.c_int64
+        lib.pci_load_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.pci_load_scan.restype = ctypes.c_int64
         _LIB = lib
         return _LIB
 
@@ -81,6 +86,29 @@ def fps_indices(points: np.ndarray, npoint: int, start: int = 0) -> np.ndarray:
         d = np.sum((xyz - xyz[farthest]) ** 2, axis=-1)
         np.minimum(dist, d, out=dist)
         farthest = int(np.argmax(dist))
+    return out
+
+
+def load_scan(
+    path: str, width: int, npoints: int, seed: int
+) -> np.ndarray | None:
+    """Read a float32 ``.bin`` scan and random-subsample to ``npoints``
+    rows without replacement (wrap-pad when short) in ONE native call:
+    mmap read, partial Fisher-Yates, OpenMP row copy — no full-scan
+    numpy materialization or fancy-index round trip.  Deterministic per
+    ``seed``.  Returns ``[npoints, width]`` float32, or ``None`` when the
+    native library or the file is unavailable (callers fall back to
+    ``np.fromfile`` + :func:`pci_tpu.data.lidar.random_subsample`)."""
+    lib = _load()
+    if not lib:
+        return None
+    out = np.empty((npoints, width), dtype=np.float32)
+    n = lib.pci_load_scan(
+        os.fsencode(path), width, npoints, ctypes.c_uint64(seed & (2**64 - 1)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if n < 0:
+        return None
     return out
 
 

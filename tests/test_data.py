@@ -196,3 +196,59 @@ class TestLoader:
         assert b["keys"][0].shape == (2, 32, 3)
         assert b["t"].shape == (2,)
         assert b["gt"].shape == (2, 32, 3)
+
+
+class TestNativeIO:
+    """Native fused load+subsample (native/pci_native.cpp pci_load_scan)."""
+
+    def _scan(self, tmp_path, n=1000, width=5):
+        rng = np.random.default_rng(0)
+        pts = rng.standard_normal((n, width)).astype(np.float32)
+        p = tmp_path / "scan.bin"
+        pts.tofile(p)
+        return str(p), pts
+
+    def test_load_scan_no_replacement_and_deterministic(self, tmp_path):
+        from pci_tpu.data import native
+
+        if not native.have_native():
+            pytest.skip("no native toolchain")
+        path, pts = self._scan(tmp_path)
+        a = native.load_scan(path, 5, 256, seed=7)
+        b = native.load_scan(path, 5, 256, seed=7)
+        c = native.load_scan(path, 5, 256, seed=8)
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+        # every row comes from the file, no duplicates (n >= npoints)
+        rows = {tuple(r) for r in np.round(a, 6).tolist()}
+        assert len(rows) == 256
+        file_rows = {tuple(r) for r in np.round(pts, 6).tolist()}
+        assert rows <= file_rows
+
+    def test_load_scan_wrap_pad_short(self, tmp_path):
+        from pci_tpu.data import native
+
+        if not native.have_native():
+            pytest.skip("no native toolchain")
+        path, pts = self._scan(tmp_path, n=10)
+        a = native.load_scan(path, 5, 64, seed=3)
+        assert a.shape == (64, 5)
+        # first 10 rows are the file in order (reference wrap protocol)
+        np.testing.assert_array_equal(a[:10], pts)
+        file_rows = {tuple(r) for r in np.round(pts, 6).tolist()}
+        assert {tuple(r) for r in np.round(a, 6).tolist()} <= file_rows
+
+    def test_read_subsample_env_gate(self, tmp_path, monkeypatch):
+        from pci_tpu.data.lidar import read_subsample
+
+        path, pts = self._scan(tmp_path)
+        rng1 = np.random.default_rng(5)
+        rng2 = np.random.default_rng(5)
+        monkeypatch.delenv("PCI_TPU_NATIVE_IO", raising=False)
+        off = read_subsample(path, 5, 128, rng1, channels=3)
+        monkeypatch.setenv("PCI_TPU_NATIVE_IO", "1")
+        on = read_subsample(path, 5, 128, rng2, channels=3)
+        assert off.shape == on.shape == (128, 3)
+        file3 = {tuple(r) for r in np.round(pts[:, :3], 6).tolist()}
+        for arr in (off, on):
+            assert {tuple(r) for r in np.round(arr, 6).tolist()} <= file3
