@@ -78,7 +78,7 @@ class ISAPCInet(nn.Module):
     @nn.compact
     def __call__(
         self, forward_pcds, key_pcds, backward_pcds, t, ini_feature,
-        *, train: bool = False, momentum=0.1,
+        *, train: bool = False, momentum=0.1, mesh=None,
     ):
         """forward_pcds: ``field * [B,N,3]`` frames before the key pair,
         key_pcds: ``2 * [B,N,3]``, backward_pcds: ``field * [B,N,3]``,
@@ -114,8 +114,8 @@ class ISAPCInet(nn.Module):
             outputer = Outputer(name="outputer")
             ff = ffab(flow_fwd, **kw)
             bf = ffab(flow_bwd, **kw)
-            rf, _ = tr_f(flow_fwd, ff, train=train)
-            rb, _ = tr_b(flow_bwd, bf, train=train)
+            rf, _ = tr_f(flow_fwd, ff, train=train, mesh=mesh)
+            rb, _ = tr_b(flow_bwd, bf, train=train, mesh=mesh)
             net_fwd = outputer(rf)
             net_bwd = outputer(rb)
         else:
@@ -185,8 +185,9 @@ class ISAPCInet(nn.Module):
 
             tr_f = TransformerLayer(self.tr_out_c, 16, name="flow_tr_forward")
             tr_b = TransformerLayer(self.tr_out_c, 16, name="flow_tr_backward")
-            rf, _ = tr_f(f_cloud, ff, train=train)  # [B, 2f*N, ff_out_c]
-            rb, _ = tr_b(b_cloud, bf, train=train)
+            # the 2f*N cloud: point-shard over mesh["points"] when given
+            rf, _ = tr_f(f_cloud, ff, train=train, mesh=mesh)  # [B,2fN,C]
+            rb, _ = tr_b(b_cloud, bf, train=train, mesh=mesh)
 
             # chunk-major channel fold: [B, 2f*N, C] -> [B, N, 2f*C]
             rf = rf.reshape(B, n2f, N, self.ff_out_c)

@@ -24,7 +24,7 @@ class TransformerLayer(nn.Module):
     k: int
 
     @nn.compact
-    def __call__(self, xyz, feats, *, train: bool = False):
+    def __call__(self, xyz, feats, *, train: bool = False, mesh=None):
         """xyz ``[B,N,3]``, feats ``[B,N,d_points]`` ->
         (``[B,N,d_points]``, attn ``[B,N,k,d_model]``).
 
@@ -33,8 +33,42 @@ class TransformerLayer(nn.Module):
         returned as ``None`` — materializing the [B,N,k,d] maps is the
         cost the kernel exists to remove.  ``train=True`` (or CPU) keeps
         the XLA expression, which defines the gradients.
+
+        ``mesh``: a mesh with a >1 ``points`` axis runs the WHOLE layer
+        point-sharded (parallel/sharded_model.py: ring self-kNN +
+        linear-size K/V all-gather) — the 2f*N concatenated flow cloud
+        (128k+ at the 64k protocol) across chips.  Eval-only; ``attn``
+        is ``None`` on this path too.
         """
         d_points = feats.shape[-1]
+        if (
+            mesh is not None
+            and not train
+            and "points" in mesh.axis_names
+            and mesh.shape["points"] > 1
+        ):
+            from ..parallel.sharded_model import transformer_layer_sharded
+
+            # materialize the full param tree with dummy calls so the
+            # checkpoint layout matches the unsharded path exactly
+            dm = self.d_model
+            zdp = jnp.zeros((1, d_points), jnp.float32)
+            z3 = jnp.zeros((1, 3), jnp.float32)
+            zd = jnp.zeros((1, dm), jnp.float32)
+            _ = dense(dm, name="fc1")(zdp)
+            _ = dense(dm, use_bias=False, name="w_qs")(zd)
+            _ = dense(dm, use_bias=False, name="w_ks")(zd)
+            _ = dense(dm, use_bias=False, name="w_vs")(zd)
+            _ = dense(dm, name="fc_delta_0")(z3)
+            _ = dense(dm, name="fc_delta_1")(zd)
+            _ = dense(dm, name="fc_gamma_0")(zd)
+            _ = dense(dm, name="fc_gamma_1")(zd)
+            _ = dense(d_points, name="fc2")(zd)
+            out = transformer_layer_sharded(
+                self.variables["params"], xyz, feats,
+                d_model=dm, k=self.k, mesh=mesh,
+            )
+            return out, None
         use_cells = ops.cells_eligible(xyz, self.k)
         use_fused = (
             jax.default_backend() == "tpu"

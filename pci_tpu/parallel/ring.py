@@ -94,12 +94,14 @@ def knn_sharded(
     query = lax.stop_gradient(query)
     points = lax.stop_gradient(points)
 
-    spec = P(None, axis)
+    # keep the batch axis on the data mesh axis when one exists (a
+    # replicated-batch spec forces SPMD to reshard model-call inputs)
+    spec = P("data", axis) if "data" in mesh.axis_names else P(None, axis)
 
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(spec, spec),
-        out_specs=(P(None, axis), P(None, axis)),
+        out_specs=(spec, spec),
     )
     def _knn(q_local, p_local):
         nper = lax.psum(1, axis)

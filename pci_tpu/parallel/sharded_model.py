@@ -66,7 +66,9 @@ def transformer_layer_sharded(
     # Global self-kNN over the sharded key axis (ring top-k merge).
     _, idx = knn_sharded(xyz, xyz, k, mesh, axis)
 
-    spec = P(None, axis)
+    # batch rides the data axis when the mesh has one (avoids an SPMD
+    # reshard of every model-side input)
+    spec = P("data", axis) if "data" in mesh.axis_names else P(None, axis)
 
     @functools.partial(
         jax.shard_map,

@@ -203,7 +203,7 @@ class TestShardedTransformer:
             variables["params"], xyz_s, feats_s,
             d_model=32, k=8, mesh=mesh,
         )
-        assert got.sharding.spec == P(None, "points")
+        assert got.sharding.spec[-1] == "points"  # point axis stays sharded
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
         )
@@ -225,3 +225,53 @@ class TestShardedTransformer:
         assert "collective-permute" in text  # ring kNN key circulation
         assert "all-gather" in text          # linear-size K/V table
         assert "f32[1,1024,1024]" not in text  # no full NxN distance block
+
+
+class TestModelLevelSharding:
+    def test_isapci_eval_with_points_mesh_matches(self, rng):
+        """ISAPCInet eval with mesh= routes its 2f*N transformer through
+        the point-sharded path and must match the meshless forward."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pci_tpu.models import ISAPCInet
+
+        B, N, field = 1, 256, 1
+        model = ISAPCInet(field=field, ff_out_c=16, tr_out_c=16)
+        c = lambda: cloud(rng, B, N)  # noqa: E731
+        fwd, keys, bwd = [c()], [c(), c()], [c()]
+        t = jnp.asarray([0.4], jnp.float32)
+        ini = jnp.zeros((B, N, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            fwd, keys, bwd, t, ini, train=False,
+        )
+
+        def run(mesh=None):
+            return model.apply(
+                variables, fwd, keys, bwd, t, ini, train=False,
+                rngs={"sample": jax.random.key(2)}, mesh=mesh,
+            )
+
+        want = run()
+        mesh = make_mesh(n_data=1, n_points=4)
+        got = run(mesh)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    def test_param_tree_unchanged_by_mesh(self, rng):
+        from pci_tpu.models import ISAPCInet
+
+        B, N, field = 1, 128, 1
+        model = ISAPCInet(field=field, ff_out_c=16, tr_out_c=16)
+        c = lambda: cloud(rng, B, N)  # noqa: E731
+        fwd, keys, bwd = [c()], [c(), c()], [c()]
+        t = jnp.asarray([0.4], jnp.float32)
+        ini = jnp.zeros((B, N, 3), jnp.float32)
+        rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+        va = model.init(rngs, fwd, keys, bwd, t, ini, train=False)
+        mesh = make_mesh(n_data=1, n_points=4)
+        vb = model.init(rngs, fwd, keys, bwd, t, ini, train=False, mesh=mesh)
+        assert jax.tree_util.tree_structure(va) == jax.tree_util.tree_structure(vb)
+        for a, b in zip(jax.tree_util.tree_leaves(va), jax.tree_util.tree_leaves(vb)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
