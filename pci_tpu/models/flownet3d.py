@@ -12,6 +12,8 @@ set_conv1/2 on each cloud with the same modules).
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -77,18 +79,39 @@ class FlowNet3D(nn.Module):
         return self.classifier(nf, **kw)
 
     def multi(self, clouds, feats, pairs, *, train: bool = False,
-              momentum=0.1):
+              momentum=0.1, batched_decode: bool | None = None):
         """Flows for ``pairs`` of indices into ``clouds``: each cloud is
         encoded ONCE (ISAPCInet field=2 runs 8 pairs over 6 distinct
-        clouds = 16 -> 6 encoder invocations)."""
+        clouds = 16 -> 6 encoder invocations).
+
+        ``batched_decode`` stacks the per-pair DECODES along the batch
+        axis into one wide pass.  Unlike the measured-slower full-pass
+        batching (r1: the 16k ball-query encoder blew VMEM at 2x width),
+        the decode's stages run at coarse levels (<=1024 points except
+        the final fp), so width amortizes per-stage overhead without the
+        encoder's working-set blowup.  Row-independent at eval (BN
+        running stats) => identical numerics.  Default from
+        PCI_TPU_BATCH_DECODE (off until measured on chip)."""
+        if batched_decode is None:
+            batched_decode = os.environ.get("PCI_TPU_BATCH_DECODE") == "1"
         encs = [
             self.encode(c, f, train=train, momentum=momentum)
             for c, f in zip(clouds, feats)
         ]
-        return [
-            self.decode(encs[a], encs[b], train=train, momentum=momentum)
-            for a, b in pairs
-        ]
+        if not batched_decode or len(pairs) == 1:
+            return [
+                self.decode(encs[a], encs[b], train=train, momentum=momentum)
+                for a, b in pairs
+            ]
+        stack = lambda idxs: tuple(  # noqa: E731
+            jnp.concatenate([encs[i][j] for i in idxs], axis=0)
+            for j in range(6)
+        )
+        enc_a = stack([a for a, _ in pairs])
+        enc_b = stack([b for _, b in pairs])
+        out = self.decode(enc_a, enc_b, train=train, momentum=momentum)
+        B = clouds[0].shape[0]
+        return [out[i * B:(i + 1) * B] for i in range(len(pairs))]
 
     def __call__(self, xyz1, xyz2, feats1, feats2, *, train: bool = False,
                  momentum=0.1, bidirectional: bool = False):

@@ -264,3 +264,29 @@ class TestBidirectionalFlow:
         ta = jax.tree_util.tree_structure(va)
         tb = jax.tree_util.tree_structure(vb)
         assert ta == tb
+
+    def test_multi_batched_decode_matches(self):
+        """Batched decode fan-out must match per-pair decodes at eval."""
+        import numpy as np
+
+        from pci_tpu.models import FlowNet3D
+
+        rng = np.random.default_rng(9)
+        clouds = [
+            jnp.asarray(rng.standard_normal((2, 96, 3)).astype(np.float32) * 3)
+            for _ in range(3)
+        ]
+        feats = [jnp.zeros_like(c) for c in clouds]
+        pairs = [(0, 1), (1, 0), (2, 1), (0, 2)]
+        model = FlowNet3D()
+        v = model.init({"params": jax.random.key(0)}, clouds[0], clouds[1],
+                       feats[0], feats[1], train=False)
+
+        seq = model.apply(v, clouds, feats, pairs, train=False,
+                          batched_decode=False, method=FlowNet3D.multi)
+        bat = model.apply(v, clouds, feats, pairs, train=False,
+                          batched_decode=True, method=FlowNet3D.multi)
+        for s, b in zip(seq, bat):
+            np.testing.assert_allclose(
+                np.asarray(s), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
