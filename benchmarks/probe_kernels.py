@@ -124,9 +124,15 @@ def main(interpret=False):
 
         from pci_tpu.nn.fusion import _cells_fusion_knn
 
-        probe("cells fusion route (2 seg)", lambda: _cells_fusion_knn(
+        # F=2 routes to the single-pass kernel; F=3 exercises the
+        # 2-pass masked route
+        probe("fusion cells single-pass (2 seg)", lambda: _cells_fusion_knn(
             comb3, jnp.asarray([[1024, 2048]], jnp.int32),
             jnp.asarray([[8, 8]], jnp.int32), 16,
+            chunk=512, m_chunks=4, tile=128))
+        probe("cells fusion 2-pass route (3 seg)", lambda: _cells_fusion_knn(
+            comb3, jnp.asarray([[640, 1280, 2048]], jnp.int32),
+            jnp.asarray([[5, 5, 6]], jnp.int32), 16,
             chunk=512, m_chunks=4, tile=128))
 
     from pci_tpu.ops.pallas_kernels.attention_tpu import (

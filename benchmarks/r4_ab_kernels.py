@@ -214,6 +214,8 @@ def section_cells64k(reps, npoints=65536):
     seg_ends = jnp.asarray([[half, npoints]], jnp.int32)
     budgets = jnp.asarray([[16, 16]], jnp.int32)
 
+    from pci_tpu.ops.pallas_kernels import knn_fusion_cells
+
     # NOTE: 64k Mosaic compiles take ~10 min EACH — keep every variant in
     # this one process (CLAUDE.md r2)
     flat = _slope(
@@ -221,20 +223,26 @@ def section_cells64k(reps, npoints=65536):
             combined + c, s, kk, k, 64, False, False, winners=1),
         (split, k1), max(reps // 4, 3), "fusion kNN 64k FLAT l=64",
     )
-    cells = _slope(
-        lambda se, bu, c: _cells_fusion_knn(combined + c, se, bu, k),
-        (seg_ends, budgets), max(reps // 4, 3), "fusion kNN 64k CELLS",
+    single = _slope(
+        lambda s, kk, c: knn_fusion_cells(combined + c, s, kk, k),
+        (split, k1), max(reps // 4, 3), "fusion kNN 64k CELLS 1-pass",
+    )
+    twop = _slope(
+        lambda se, bu, c: _cells_fusion_knn(
+            combined + c, se, bu, k, single_pass=False),
+        (seg_ends, budgets),
+        max(reps // 4, 3), "fusion kNN 64k CELLS 2-pass",
     )
 
-    # neighbor agreement (cells vs flat; both approximate)
+    # neighbor agreement vs flat (both approximate)
     fi = np.asarray(knn_fusion_adaptive(
         combined, split, k1, k, 64, False, True, winners=1)[0])
-    ci = np.asarray(_cells_fusion_knn(
-        combined, seg_ends, budgets, k, emit_idx=True)[0])
+    ci = np.asarray(knn_fusion_cells(
+        combined, split, k1, k, emit_idx=True)[0])
     qs = range(0, npoints, 31)
     agree = sum(len(set(fi[0, q]) & set(ci[0, q])) for q in qs) / (len(list(qs)) * k)
-    print(f"  -> flat {flat:.2f} ms vs cells {cells:.2f} ms; "
-          f"neighbor agreement {agree:.3f}", flush=True)
+    print(f"  -> flat {flat:.2f} vs 1-pass {single:.2f} vs 2-pass "
+          f"{twop:.2f} ms; 1-pass/flat agreement {agree:.3f}", flush=True)
 
 
 def main():

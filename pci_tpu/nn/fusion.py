@@ -139,7 +139,7 @@ def _cells_route_ok(points, k, train):
 
 def _cells_fusion_knn(combined, seg_ends, budgets, k, emit_idx=False, *,
                       chunk=512, m_chunks=16, bucket=16, winners=2,
-                      tile=256, interpret=False):
+                      tile=256, interpret=False, single_pass=None):
     """Segment-restricted self-kNN at large N: one ``key_valid``-masked
     cell-pruned pass per segment (ops/pallas_kernels/knn_cells_tpu.py),
     then budget compaction — the XLA fallback's own two-phase structure
@@ -150,6 +150,22 @@ def _cells_fusion_knn(combined, seg_ends, budgets, k, emit_idx=False, *,
 
     B, N, _ = combined.shape
     F = seg_ends.shape[1]
+    if single_pass is None:
+        single_pass = F == 2
+    if single_pass:
+        assert F == 2, "single-pass kernel is two-segment only"
+        # single-pass kernel: one distance evaluation per scanned chunk
+        # (shared by both segments' bucket minima) and exactly k
+        # extraction rounds total — the 2-pass route below pays both
+        # twice (ops/pallas_kernels/fusion_cells_tpu.py)
+        from ..ops.pallas_kernels import knn_fusion_cells
+
+        return knn_fusion_cells(
+            combined, seg_ends[:, 0], budgets[:, 0], k,
+            chunk=chunk, m_chunks=m_chunks, bucket=bucket,
+            winners=winners, tile=tile, emit_idx=emit_idx,
+            interpret=interpret,
+        )
     pos = jnp.arange(N, dtype=jnp.int32)[None, :]
     qpos = jnp.broadcast_to(pos[:, :, None], (B, N, k))
     start = jnp.zeros((B, 1), jnp.int32)

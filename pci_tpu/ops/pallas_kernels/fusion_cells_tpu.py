@@ -1,0 +1,316 @@
+"""Single-pass cell-pruned adaptive fusion kNN (Pallas TPU).
+
+The fusion head's segment-restricted self-kNN at 64k+ points
+(/root/reference/Utils/Layers.py:246-271 adaptive kNN; paper Table 6's
+65,536-pt protocol row).  The 2-pass route (nn/fusion.py
+``_cells_fusion_knn``: one ``key_valid``-masked knn_cells pass per
+segment + budget compaction) pays the distance tiles TWICE and runs
+``k`` extraction rounds PER SEGMENT (2k total for k1+k2=k outputs).
+This kernel does the whole job in ONE pass:
+
+  * Morton sort of the combined cloud (shared by queries and keys —
+    self-kNN), per-chunk AABBs computed separately over each SEGMENT's
+    keys (segment membership = original index < split, a per-key
+    attribute that rides the sort as a payload class channel);
+  * per-tile chunk ranking by the UNION lower bound min(lbA, lbB), with
+    three force-included chunks — the tile's own covering chunk (the
+    self-neighbor guarantee) and each segment's best chunk (so an
+    extreme-t segment whose few points live far away is never pruned
+    out) — made duplicate-free by masking each forced chunk out of the
+    pool before the next argmin/top-k (duplicated chunks would emit the
+    same neighbor twice);
+  * ONE distance evaluation per scanned chunk, bucketed per segment:
+    strided packed-key minima keep ``winners`` candidates per bucket
+    PER SEGMENT (a shared winner list would let one segment's dense
+    neighbors evict the other's);
+  * budgeted extraction: k1 rounds over segment-A candidate rows then
+    k - k1 over segment-B rows (dynamic trip counts, exactly k rounds
+    total), emitting residuals (+ optional original-index ids) directly
+    in output slots [0, k1) / [k1, k) — the pre-merged block, no
+    compaction pass outside.
+
+Starved budgets (a segment holds fewer candidates than its budget) emit
+zero-residual self-neighbors, matching the flat fused kernel
+(fusion_knn_tpu.py) convention.  Ranking is packed-key quantized like
+every kernel in this family; emitted residuals are exact fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .knn_cells_tpu import _box_lb, _chunk_boxes, _sort_by_morton
+
+_BIG = 1e30
+_IMAX = jnp.iinfo(jnp.int32).max
+
+
+def _fusion_cells_kernel(scal_ref, chunks_ref, qt_ref, p_ref, ids_ref,
+                         *refs, k, l, C, M, tq, winners, emit_idx):
+    """Grid: (B, Sp // tq).
+
+    scal_ref: per batch ``[k1, k2]`` budgets (scalar prefetch).
+    chunks_ref: ``[B * S_tiles * M]`` scanned chunk ids (scalar prefetch).
+    qt_ref ``[1, 3, tq]`` sorted-query tile; p_ref ``[1, 3, Np]`` sorted
+    keys; ids_ref ``[1, 2, Np]``: row 0 original ids, row 1 segment
+    class (0 = segment A, 1 = segment B, 2 = pad).
+    outs: ([oi [1, tq, k]]?, orr [1, 3, tq, k]).
+    scratch: cand_k, cand_i, cand_x/y/z — [2 * winners * M * C // l, tq];
+    candidate rows for chunk-scan m are laid out
+    ``[((m * 2 + seg) * winners + w) * nb_chunk + bucket]``.
+    """
+    n_out = 1 + int(emit_idx)
+    outs, rest = refs[:n_out], refs[n_out:]
+    cand_k, cand_i, cand_x, cand_y, cand_z = rest
+
+    nb_chunk = C // l
+    b = pl.program_id(0)
+    it = pl.program_id(1)
+    s_tiles = pl.num_programs(1)
+    base = (b * s_tiles + it) * M
+
+    def chunk_step(m, _):
+        start = chunks_ref[base + m] * C
+        p = jnp.transpose(p_ref[0, :, pl.ds(start, C)])  # [C, 3]
+        d = jnp.zeros((C, tq), jnp.float32)
+        for c in range(3):
+            diff = p[:, c][:, None] - qt_ref[0, c, :][None, :]
+            d = d + diff * diff
+        idv = jnp.transpose(ids_ref[0, 0:1, pl.ds(start, C)])  # [C, 1]
+        cls = jnp.transpose(ids_ref[0, 1:2, pl.ds(start, C)])  # [C, 1]
+
+        loc = lax.broadcasted_iota(jnp.int32, (l, nb_chunk, tq), 0)
+        id3 = idv.reshape(l, nb_chunk, 1)
+        p3 = p.reshape(l, nb_chunk, 3)
+        bits_all = lax.bitcast_convert_type(d, jnp.int32)
+        cls3 = cls.reshape(l, nb_chunk, 1)
+        for seg in range(2):
+            # strided buckets (Morton-sorted keys: consecutive grouping
+            # collapses a query's neighbor run into one winner).
+            # Out-of-segment lanes become EXACT _IMAX sentinels (a _BIG
+            # distance would rank as a real far candidate and a starved
+            # budget would emit garbage instead of self-neighbors).
+            packed = (bits_all.reshape(l, nb_chunk, tq) & ~(l - 1)) | loc
+            keys = jnp.where(cls3 == seg, packed, _IMAX)
+            for w in range(winners):
+                bmin = jnp.min(keys, axis=0)  # [nb_chunk, tq]
+                local = bmin & (l - 1)
+                oh = loc == local[None, :, :]
+                isel = jnp.sum(jnp.where(oh, id3, 0), axis=0)
+                sl = pl.ds(
+                    (((m * 2 + seg) * winners) + w) * nb_chunk, nb_chunk
+                )
+                cand_k[sl, :] = bmin
+                cand_i[sl, :] = isel
+                cand_x[sl, :] = jnp.sum(
+                    jnp.where(oh, p3[:, :, 0][..., None], 0.0), axis=0)
+                cand_y[sl, :] = jnp.sum(
+                    jnp.where(oh, p3[:, :, 1][..., None], 0.0), axis=0)
+                cand_z[sl, :] = jnp.sum(
+                    jnp.where(oh, p3[:, :, 2][..., None], 0.0), axis=0)
+                if w + 1 < winners:
+                    keys = jnp.where(oh, _IMAX, keys)
+        return 0
+
+    lax.fori_loop(0, M, chunk_step, 0)
+
+    # ---- budgeted extraction over the per-segment candidate rows ----
+    nb_rows = 2 * winners * M * nb_chunk
+    row = lax.broadcasted_iota(jnp.int32, (nb_rows, tq), 0)
+    rbits = max((nb_rows - 1).bit_length(), (l - 1).bit_length())
+    ckv = cand_k[...]
+    # preserve exhausted-bucket sentinels through the row-id packing
+    ck = jnp.where(ckv == _IMAX, _IMAX, (ckv & ~((1 << rbits) - 1)) | row)
+    # row -> segment: r = ((m*2 + seg)*W + w)*nb_chunk + b
+    wnb_log = (winners * nb_chunk - 1).bit_length()
+    seg_row = (row >> wnb_log) & 1
+    ci = cand_i[...]
+    cx, cy, cz = cand_x[...], cand_y[...], cand_z[...]
+    qx, qy, qz = qt_ref[0, 0, :], qt_ref[0, 1, :], qt_ref[0, 2, :]
+    # original id of each query row (queries share the key sort)
+    qoid = jnp.transpose(ids_ref[0, 0:1, pl.ds(it * tq, tq)])[:, 0]  # [tq]
+
+    kiota = lax.broadcasted_iota(jnp.int32, (tq, k), 1)
+    zf = jnp.zeros((tq, k), jnp.float32)
+    zi = jnp.zeros((tq, k), jnp.int32)
+
+    def extract(jj, carry):
+        keys, oi_a, rx_a, ry_a, rz_a = carry
+        m = jnp.min(keys, axis=0)  # [tq]
+        valid = m != _IMAX
+        sel = keys == m[None, :]
+        x = jnp.sum(jnp.where(sel, cx, 0.0), axis=0)
+        y = jnp.sum(jnp.where(sel, cy, 0.0), axis=0)
+        z = jnp.sum(jnp.where(sel, cz, 0.0), axis=0)
+        rx = jnp.where(valid, x - qx, 0.0)
+        ry = jnp.where(valid, y - qy, 0.0)
+        rz = jnp.where(valid, z - qz, 0.0)
+        i = jnp.sum(jnp.where(sel, ci, 0), axis=0)
+        i = jnp.where(valid, i, qoid)
+        upd = kiota == jj
+        oi_a = jnp.where(upd, i[:, None], oi_a)
+        rx_a = jnp.where(upd, rx[:, None], rx_a)
+        ry_a = jnp.where(upd, ry[:, None], ry_a)
+        rz_a = jnp.where(upd, rz[:, None], rz_a)
+        keys = jnp.where(sel, _IMAX, keys)
+        return keys, oi_a, rx_a, ry_a, rz_a
+
+    k1 = scal_ref[b * 2]
+    carry = (zi, zf, zf, zf)
+    keys_a = jnp.where(seg_row == 0, ck, _IMAX)
+    _, *carry = lax.fori_loop(0, k1, extract, (keys_a, *carry))
+    keys_b = jnp.where(seg_row == 1, ck, _IMAX)
+    _, *carry = lax.fori_loop(k1, k, extract, (keys_b, *carry))
+    oi_a, rx_a, ry_a, rz_a = carry
+
+    itr = iter(outs)
+    if emit_idx:
+        next(itr)[0] = oi_a
+    orr = next(itr)
+    orr[0, 0] = rx_a
+    orr[0, 1] = ry_a
+    orr[0, 2] = rz_a
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def knn_fusion_cells(
+    combined: jax.Array, split: jax.Array, k1: jax.Array, k: int,
+    chunk: int = 512, m_chunks: int = 16, bucket: int = 16,
+    winners: int = 2, tile: int = 256, emit_idx: bool = False,
+    interpret=False,
+):
+    """Two-segment budgeted self-kNN of ``combined`` in ONE cell-pruned
+    pass (see module docstring).
+
+    Args:
+      combined: ``[B, N, 3]`` (segment A = rows [0, split), B = rest).
+      split: ``[B]`` int32 per-batch segment boundary.
+      k1: ``[B]`` int32 segment-A budget (segment B gets ``k - k1``).
+      k: total neighbors (static).
+      chunk / m_chunks / bucket / winners / tile: knn_cells params.
+      emit_idx: also return global indices into ``combined``.
+
+    Returns:
+      ``([idx [B,N,k]]?, resi [B,N,k,3])`` — slots [0,k1) from segment
+      A then [k1,k) from B, residual ``neighbor - query`` exact fp32;
+      starved slots are zero-residual self-neighbors.  No gradients
+      (stop_gradient; the eval fusion path re-derives everything from
+      resi).
+    """
+    combined = lax.stop_gradient(combined)
+    B, N, _ = combined.shape
+    l, C, M, W, tq = bucket, chunk, m_chunks, winners, tile
+    assert l & (l - 1) == 0 and C % l == 0 and C % 128 == 0
+    assert W in (1, 2) and tq % 128 == 0 and C % tq == 0
+
+    n_pad = (-N) % C
+    p_sorted, perm = _sort_by_morton(combined, n_pad)
+    Np = N + n_pad
+    nc = Np // C
+    # at least the 3 forced chunks (cover + per-segment best) must fit;
+    # when nc <= 2 the truncated forced list already covers every chunk
+    M = min(max(M, 3), nc)
+
+    split32 = split.astype(jnp.int32)
+    k1c = jnp.clip(k1.astype(jnp.int32), 0, k)
+    # segment class per sorted key: 0 = A, 1 = B, 2 = pad
+    in_range = perm < N
+    is_a = (perm < split32[:, None]) & in_range
+    cls = jnp.where(is_a, 0, jnp.where(in_range, 1, 2)).astype(jnp.int32)
+
+    kvA = is_a
+    kvB = (~is_a) & in_range
+    loA, hiA = _chunk_boxes(p_sorted, C, kvA)
+    loB, hiB = _chunk_boxes(p_sorted, C, kvB)
+    qlo, qhi = _chunk_boxes(p_sorted, tq, in_range)
+    lbA = _box_lb(qlo, qhi, loA, hiA)  # [B, S_tiles, nc]
+    lbB = _box_lb(qlo, qhi, loB, hiB)
+
+    n_tiles = Np // tq
+    tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+    binx = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    def force(lb_pool, pick_from):
+        """argmin of pick_from per (batch, tile); mask it out of both."""
+        fid = jnp.argmin(pick_from, axis=-1).astype(jnp.int32)  # [B, T]
+        mask = jax.nn.one_hot(fid, lb_pool.shape[-1], dtype=jnp.bool_)
+        return fid, jnp.where(mask, jnp.inf, lb_pool)
+
+    # covering chunk first (self-neighbor guarantee), then each
+    # segment's best — all masked out of the union pool (duplicate
+    # chunks would emit duplicate neighbors)
+    cover = jnp.broadcast_to((tiles * tq) // C, (B, n_tiles))
+    cov_mask = jax.nn.one_hot(cover, nc, dtype=jnp.bool_)
+    lbA_m = jnp.where(cov_mask, jnp.inf, lbA)
+    lbB_m = jnp.where(cov_mask, jnp.inf, lbB)
+    fA, lbA_m2 = force(lbA_m, lbA_m)
+    lbB_m = jnp.where(
+        jax.nn.one_hot(fA, nc, dtype=jnp.bool_), jnp.inf, lbB_m)
+    fB, lbB_m2 = force(lbB_m, lbB_m)
+    lbA_m2 = jnp.where(
+        jax.nn.one_hot(fB, nc, dtype=jnp.bool_), jnp.inf, lbA_m2)
+    union = jnp.minimum(lbA_m2, lbB_m2)
+    n_top = max(M - 3, 0)
+    if n_top:
+        _, rest_ids = lax.top_k(-union, n_top)
+        chunk_ids = jnp.concatenate(
+            [cover[..., None], fA[..., None], fB[..., None],
+             rest_ids.astype(jnp.int32)], axis=-1)
+    else:
+        chunk_ids = jnp.stack([cover, fA, fB], axis=-1)[..., :M]
+    chunk_ids = chunk_ids.reshape(-1)
+
+    scal = jnp.stack([k1c, k - k1c], axis=1).reshape(-1)  # [B * 2]
+
+    p_t = jnp.swapaxes(p_sorted, 1, 2)  # [B, 3, Np]
+    ids = jnp.concatenate(
+        [jnp.minimum(perm, N - 1)[:, None, :], cls[:, None, :]], axis=1
+    )  # [B, 2, Np]
+
+    n_cand = 2 * W * M * C // l
+    scratch = [pltpu.VMEM((n_cand, tq), jnp.int32)] * 2
+    scratch += [pltpu.VMEM((n_cand, tq), jnp.float32)] * 3
+
+    kernel = functools.partial(
+        _fusion_cells_kernel, k=k, l=l, C=C, M=M, tq=tq, winners=W,
+        emit_idx=True,  # cand_i always tracked (far-slot self ids)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 3, tq), lambda b, i, s1, s2: (b, 0, i)),
+            pl.BlockSpec((1, 3, Np), lambda b, i, s1, s2: (b, 0, 0)),
+            pl.BlockSpec((1, 2, Np), lambda b, i, s1, s2: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tq, k), lambda b, i, s1, s2: (b, i, 0)),
+            pl.BlockSpec((1, 3, tq, k), lambda b, i, s1, s2: (b, 0, i, 0)),
+        ],
+        scratch_shapes=scratch,
+    )
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Np, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, 3, Np, k), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(scal, chunk_ids, p_t, p_t, ids)
+
+    inv = jnp.argsort(perm[:, :N], axis=-1).astype(jnp.int32)
+    idx = jnp.take_along_axis(outs[0][:, :N], inv[..., None], axis=1)
+    r = jnp.transpose(outs[1][:, :, :N], (0, 2, 3, 1))
+    resi = jnp.take_along_axis(r, inv[..., None, None], axis=1)
+    if emit_idx:
+        return idx, resi
+    return resi

@@ -822,3 +822,29 @@ class TestFusionKernelWinners:
         r1 = recall(16, 1)
         r2 = recall(32, 2)
         assert r2 >= r1 - 0.005, (r1, r2)
+
+    def test_far_tiny_segment_force_included(self, rng):
+        """A tiny far-away segment must not be pruned out of the chunk
+        scan (force-include of each segment's best chunk): its budget
+        slots hold its ACTUAL points, not self-neighbor fallbacks."""
+        from pci_tpu.ops.pallas_kernels import knn_fusion_cells
+
+        B, N, k = 1, 1024, 8
+        pts = (rng.standard_normal((N, 3)) * 2).astype(np.float32)
+        # segment B = last 64 rows, placed far away in a tight clump
+        pts[960:] = pts[960:] * 0.1 + 80.0
+        combined = jnp.asarray(pts)[None]
+        split = jnp.asarray([960], jnp.int32)
+        k1 = jnp.asarray([5], jnp.int32)
+        idx, resi = knn_fusion_cells(
+            combined, split, k1, k, chunk=128, m_chunks=2, bucket=2,
+            winners=2, tile=128, emit_idx=True, interpret=True,
+        )
+        gi = np.asarray(idx)
+        # segment-B slots [5,8) must come from rows >= 960 for EVERY
+        # query, including queries whose M=2 nearest chunks are all in
+        # the near clump
+        assert (gi[:, :, 5:] >= 960).all()
+        # and they are real neighbors (nonzero residuals for far queries)
+        far_resi = np.asarray(resi)[0, :960, 5:]
+        assert float(np.abs(far_resi).max()) > 10.0
