@@ -236,26 +236,25 @@ def knn_fusion_cells(
     tiles = jnp.arange(n_tiles, dtype=jnp.int32)
     binx = jnp.arange(B, dtype=jnp.int32)[:, None]
 
-    def force(lb_pool, pick_from):
-        """argmin of pick_from per (batch, tile); mask it out of both."""
-        fid = jnp.argmin(pick_from, axis=-1).astype(jnp.int32)  # [B, T]
-        mask = jax.nn.one_hot(fid, lb_pool.shape[-1], dtype=jnp.bool_)
-        return fid, jnp.where(mask, jnp.inf, lb_pool)
-
     # covering chunk first (self-neighbor guarantee), then each
-    # segment's best — all masked out of the union pool (duplicate
-    # chunks would emit duplicate neighbors)
+    # segment's best — all excluded from the union pool.  The scanned
+    # chunk list must be DUPLICATE-FREE (a chunk scanned twice emits the
+    # same neighbor twice), so the picker ranks already-taken chunks
+    # strictly worst and breaks all-inf pools (an EMPTY segment — t at
+    # an extreme) by index instead of argmin-defaulting to chunk 0.
+    ciota = jnp.arange(nc, dtype=jnp.float32)
+
+    def pick(pool, taken):
+        score = jnp.where(jnp.isinf(pool), 1e33 + ciota, pool)
+        score = jnp.where(taken, 1e35 + ciota, score)
+        fid = jnp.argmin(score, axis=-1).astype(jnp.int32)  # [B, T]
+        return fid, taken | jax.nn.one_hot(fid, nc, dtype=jnp.bool_)
+
     cover = jnp.broadcast_to((tiles * tq) // C, (B, n_tiles))
-    cov_mask = jax.nn.one_hot(cover, nc, dtype=jnp.bool_)
-    lbA_m = jnp.where(cov_mask, jnp.inf, lbA)
-    lbB_m = jnp.where(cov_mask, jnp.inf, lbB)
-    fA, lbA_m2 = force(lbA_m, lbA_m)
-    lbB_m = jnp.where(
-        jax.nn.one_hot(fA, nc, dtype=jnp.bool_), jnp.inf, lbB_m)
-    fB, lbB_m2 = force(lbB_m, lbB_m)
-    lbA_m2 = jnp.where(
-        jax.nn.one_hot(fB, nc, dtype=jnp.bool_), jnp.inf, lbA_m2)
-    union = jnp.minimum(lbA_m2, lbB_m2)
+    taken = jax.nn.one_hot(cover, nc, dtype=jnp.bool_)
+    fA, taken = pick(lbA, taken)
+    fB, taken = pick(lbB, taken)
+    union = jnp.where(taken, jnp.inf, jnp.minimum(lbA, lbB))
     n_top = max(M - 3, 0)
     if n_top:
         _, rest_ids = lax.top_k(-union, n_top)

@@ -848,3 +848,26 @@ class TestFusionKernelWinners:
         # and they are real neighbors (nonzero residuals for far queries)
         far_resi = np.asarray(resi)[0, :960, 5:]
         assert float(np.abs(far_resi).max()) > 10.0
+
+    def test_empty_segment_extremes_no_duplicates(self, rng):
+        """split=0 / split=N (t extremes): the empty segment must not
+        cause duplicate chunk scans — every emitted block is k DISTINCT
+        in-segment neighbors."""
+        from pci_tpu.ops.pallas_kernels import knn_fusion_cells
+
+        B, N, k = 1, 512, 8
+        combined = cloud(rng, B, N, scale=3.0)
+        for split, k1 in ((0, 0), (N, k)):
+            idx, resi = knn_fusion_cells(
+                combined, jnp.asarray([split], jnp.int32),
+                jnp.asarray([k1], jnp.int32), k, chunk=128, m_chunks=4,
+                bucket=2, winners=2, tile=128, emit_idx=True,
+                interpret=True,
+            )
+            gi = np.asarray(idx)[0]
+            # all slots from the non-empty segment
+            if split == 0:
+                assert (gi >= 0).all() and (gi < N).all()
+            # no duplicate neighbors within any query row
+            for q in range(0, N, 7):
+                assert len(set(gi[q])) == k, (split, q, gi[q])
