@@ -94,9 +94,12 @@ def knn_sharded(
     query = lax.stop_gradient(query)
     points = lax.stop_gradient(points)
 
-    # keep the batch axis on the data mesh axis when one exists (a
-    # replicated-batch spec forces SPMD to reshard model-call inputs)
-    spec = P("data", axis) if "data" in mesh.axis_names else P(None, axis)
+    # keep the batch axis on the data mesh axis when it divides (a
+    # replicated-batch spec forces SPMD to reshard model-call inputs;
+    # a non-divisible batch, e.g. B=1 on a 4x2 mesh, must replicate)
+    spec = P(None, axis)
+    if "data" in mesh.axis_names and query.shape[0] % mesh.shape["data"] == 0:
+        spec = P("data", axis)
 
     @functools.partial(
         shard_map, mesh=mesh,

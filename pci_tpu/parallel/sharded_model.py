@@ -66,9 +66,11 @@ def transformer_layer_sharded(
     # Global self-kNN over the sharded key axis (ring top-k merge).
     _, idx = knn_sharded(xyz, xyz, k, mesh, axis)
 
-    # batch rides the data axis when the mesh has one (avoids an SPMD
-    # reshard of every model-side input)
-    spec = P("data", axis) if "data" in mesh.axis_names else P(None, axis)
+    # batch rides the data axis when it divides (avoids an SPMD reshard
+    # of every model-side input; non-divisible batches replicate)
+    spec = P(None, axis)
+    if "data" in mesh.axis_names and xyz.shape[0] % mesh.shape["data"] == 0:
+        spec = P("data", axis)
 
     @functools.partial(
         jax.shard_map,
