@@ -8,7 +8,7 @@
 # Stages: probes tests ab table6 cells64k train emd flownet isapci bench
 set -x
 cd "$(dirname "$0")/.."
-STAGES="${@:-probes tests ab table6 cells64k train emd flownet isapci decodeab bench}"
+STAGES="${@:-probes tests ab table6 cells64k train emd flownet isapci decodeab resiab bench}"
 LOG=results/logs/r4_sweep_$(date +%m%d_%H%M)
 mkdir -p "$LOG"
 
@@ -31,6 +31,7 @@ for s in $STAGES; do case $s in
   flownet)  run flownet 2400 python -m benchmarks.profile_flownet ;;
   isapci)   run isapci 2400 python -m benchmarks.profile_isapci --policy bfloat16 ;;
   decodeab) run decodeab 2400 env PCI_TPU_BATCH_DECODE=1 python -m benchmarks.profile_models ;;
+  resiab)   run resiab 2400 env PCI_TPU_TR_RESI=kernel python -m benchmarks.profile_isapci --policy bfloat16 ;;
   bench)    run bench 1800 python bench.py ;;
 esac; done
 echo "sweep done; logs in $LOG"

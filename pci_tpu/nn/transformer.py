@@ -40,6 +40,8 @@ class TransformerLayer(nn.Module):
         (128k+ at the 64k protocol) across chips.  Eval-only; ``attn``
         is ``None`` on this path too.
         """
+        import os
+
         d_points = feats.shape[-1]
         if (
             mesh is not None
@@ -69,7 +71,16 @@ class TransformerLayer(nn.Module):
                 d_model=dm, k=self.k, mesh=mesh,
             )
             return out, None
-        use_cells = ops.cells_eligible(xyz, self.k)
+        # In-kernel residual emission costs ~4.7 ms @64k while gathering
+        # the 3ch fp32 xyz rows FUSED with the K/V gather is ~0.2 ms
+        # marginal (CLAUDE.md r3 numbers; the cells+gather combination
+        # was never A/B'd) — default is the plain gather path below
+        # (ops.knn routes the SELECTION to the cell-pruned kernel at
+        # N>=32k anyway); PCI_TPU_TR_RESI=kernel keeps emission for A/B.
+        use_cells = (
+            ops.cells_eligible(xyz, self.k)
+            and os.environ.get("PCI_TPU_TR_RESI") == "kernel"
+        )
         use_fused = (
             jax.default_backend() == "tpu"
             and not train
