@@ -137,3 +137,39 @@ class Interpolator:
             self(cloud_a, cloud_b, i / factor, context)
             for i in range(1, factor)
         ]
+
+    def stream_batch(self, pairs, ts, mesh=None):
+        """One jitted forward for B independent ``(cloud_a, cloud_b)``
+        streams at per-stream times ``ts`` — the aggregate-throughput
+        serving shape (BASELINE.md north star: PointINet is latency-
+        bound per stream, so throughput scales by running independent
+        streams, one per data-mesh row).
+
+        With ``mesh``, the stream batch is sharded over its ``data``
+        axis (``len(pairs)`` must divide it); without, it's one wide
+        batch on the local device.  Pair-mode engines only.
+
+        Returns a list of ``[npoints, 3]`` numpy frames.
+        """
+        assert self._apply_kind == "pair", "stream_batch is pair-mode only"
+        assert len(pairs) == len(ts) and pairs
+        a = jnp.concatenate([self._prep(x) for x, _ in pairs], axis=0)
+        b = jnp.concatenate([self._prep(y) for _, y in pairs], axis=0)
+        t = jnp.asarray([float(v) for v in ts], jnp.float32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape["data"]
+            assert len(pairs) % n_data == 0, (
+                f"{len(pairs)} streams do not divide the data axis "
+                f"({n_data})"
+            )
+            data_sh = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+            a, b, t = (jax.device_put(x, data_sh) for x in (a, b, t))
+            variables = jax.device_put(self.variables, rep)
+        else:
+            variables = self.variables
+        out = self._fwd(variables, (a, b), t, self._next_key())
+        out = np.asarray(out)
+        return [out[i] for i in range(len(pairs))]

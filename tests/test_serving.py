@@ -95,3 +95,28 @@ def test_t_extremes_through_serving():
     for t in (0.0, 1.0):
         out = interp(a, b, t)
         assert out.shape == (96, 3) and np.isfinite(out).all()
+
+
+def test_stream_batch_matches_single_calls_and_shards():
+    """stream_batch over a data mesh == per-stream single calls (modulo
+    the rng key each call draws — pin keys by reusing one engine per
+    path with the same seed)."""
+    from pci_tpu.parallel import make_mesh
+
+    N = 128
+    rng = np.random.default_rng(0)
+    clouds = [rng.standard_normal((N, 3)).astype(np.float32) * 3 for _ in range(8)]
+    pairs = [(clouds[i], clouds[i + 1]) for i in range(0, 8, 2)]
+    ts = [0.2, 0.4, 0.6, 0.8]
+
+    eng1 = Interpolator.pointinet(npoints=N, seed=3)
+    batched = eng1.stream_batch(pairs, ts)
+
+    mesh = make_mesh(n_data=4, n_points=2)
+    eng2 = Interpolator.pointinet(npoints=N, seed=3)
+    sharded = eng2.stream_batch(pairs, ts, mesh=mesh)
+
+    assert len(batched) == len(sharded) == 4
+    for x, y in zip(batched, sharded):
+        assert x.shape == (N, 3)
+        np.testing.assert_allclose(x, y, rtol=1e-4, atol=1e-5)
