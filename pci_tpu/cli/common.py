@@ -67,6 +67,10 @@ def add_common_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--log_every", type=int, default=10,
                    help="sync loss device->host every N steps (per-step "
                         "sync would stall the async dispatch pipeline)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward in the backward "
+                        "(jax.checkpoint): ~2x activation-memory headroom "
+                        "for bigger batches/clouds at one extra forward")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="activation compute dtype (nn/policy.py): bf16 "
@@ -197,7 +201,12 @@ def run_interp_training(args, model, variables, dataset):
         except FileNotFoundError:
             print(f"no checkpoint under {state_dir}; starting fresh")
 
-    step_fn = jax.jit(make_interp_train_step(model, optimizer), donate_argnums=(0,))
+    step_fn = jax.jit(
+        make_interp_train_step(
+            model, optimizer, remat=bool(getattr(args, "remat", False))
+        ),
+        donate_argnums=(0,),
+    )
 
     logger = MetricLogger(args.log_dir, use_wandb=args.use_wandb, config=vars(args))
     keeper = BestKeeper(args.save_dir, prefix=f"field_{args.field}")
