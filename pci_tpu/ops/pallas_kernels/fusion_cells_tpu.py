@@ -234,19 +234,17 @@ def knn_fusion_cells(
 
     n_tiles = Np // tq
     tiles = jnp.arange(n_tiles, dtype=jnp.int32)
-    binx = jnp.arange(B, dtype=jnp.int32)[:, None]
 
     # covering chunk first (self-neighbor guarantee), then each
     # segment's best — all excluded from the union pool.  The scanned
     # chunk list must be DUPLICATE-FREE (a chunk scanned twice emits the
-    # same neighbor twice), so the picker ranks already-taken chunks
-    # strictly worst and breaks all-inf pools (an EMPTY segment — t at
-    # an extreme) by index instead of argmin-defaulting to chunk 0.
-    ciota = jnp.arange(nc, dtype=jnp.float32)
-
+    # same neighbor twice), so the picker scores already-taken chunks
+    # strictly worse (1e35) than inf-bound ones (1e33): argmin's
+    # first-min rule then yields deterministic DISTINCT picks even for
+    # an all-inf pool (an EMPTY segment — t at an extreme).
     def pick(pool, taken):
-        score = jnp.where(jnp.isinf(pool), 1e33 + ciota, pool)
-        score = jnp.where(taken, 1e35 + ciota, score)
+        score = jnp.where(jnp.isinf(pool), 1e33, pool)
+        score = jnp.where(taken, 1e35, score)
         fid = jnp.argmin(score, axis=-1).astype(jnp.int32)  # [B, T]
         return fid, taken | jax.nn.one_hot(fid, nc, dtype=jnp.bool_)
 
