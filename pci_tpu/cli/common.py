@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data import Loader, NuscenesInterpolationDataset
+from ..data import Loader
 from ..models import ISAPCInet
 from ..train import (
     BestKeeper,

@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data import read_nuscenes_bin, read_result_bin, subsample
+from ..data import read_nuscenes_bin, subsample
 from ..utils import PcdsVisualizer
 from .common import add_model_flags, build_isapci
 

@@ -14,7 +14,6 @@ import os
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from ..data import Loader, NuscenesInterpolationDataset
 from .common import add_model_flags, add_nuscenes_flags, batch_to_device, build_isapci, example_from_loader

@@ -15,7 +15,6 @@ import argparse
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from .. import ops
 from ..data import Loader, PolyPCIDataset

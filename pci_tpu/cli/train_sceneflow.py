@@ -12,7 +12,6 @@ Mirror of PointINet20230424/train_sceneflow.py:15-220.
 from __future__ import annotations
 
 import argparse
-import time
 
 import numpy as np
 

@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.heads import Tnet
-from ..train import load_params
 
 
 def parse_args(argv=None):

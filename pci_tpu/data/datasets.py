@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import glob
 import os
-from dataclasses import dataclass, field
+
 
 import numpy as np
 

@@ -28,8 +28,6 @@ exist, so weight-layout compatibility is moot):
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ Dense stacks (a conv over a length-1 spatial dim is just a matmul).
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from . import policy
 from .mlp import dense

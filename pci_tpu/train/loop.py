@@ -7,8 +7,7 @@ running-stat update — no host round trips inside an epoch.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
