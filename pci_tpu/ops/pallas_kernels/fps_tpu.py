@@ -165,8 +165,9 @@ def fps_pallas_interleaved(
     return jnp.transpose(glob, (0, 2, 1)).reshape(B, npoint)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def fps_pallas(xyz: jax.Array, npoint: int, start_idx: jax.Array | int = 0):
+@functools.partial(jax.jit, static_argnums=(1, 3))
+def fps_pallas(xyz: jax.Array, npoint: int, start_idx: jax.Array | int = 0,
+               interpret=False):
     """Greedy FPS: ``[B, N, 3] -> [B, npoint]`` int32 selection order."""
     xyz = lax.stop_gradient(xyz)
     B, N, C = xyz.shape
@@ -189,5 +190,6 @@ def fps_pallas(xyz: jax.Array, npoint: int, start_idx: jax.Array | int = 0):
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 1, npoint), jnp.int32),
+        interpret=interpret,
     )(start, xyz_t)
     return out[:, 0, :]

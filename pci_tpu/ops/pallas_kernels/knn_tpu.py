@@ -128,10 +128,11 @@ def _knn_kernel(valid_ref, qt_ref, p_ref, out_d_ref, out_i_ref,
         ck = jnp.where(sel, jnp.iinfo(jnp.int32).max, ck)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 4))
+@functools.partial(jax.jit, static_argnums=(2, 4, 5))
 def knn_pallas(
     query: jax.Array, points: jax.Array, k: int,
     valid_n: jax.Array | None = None, bucket: int = L,
+    interpret=False,
 ):
     """Batched fused kNN.
 
@@ -199,6 +200,7 @@ def knn_pallas(
         ],
         # candidate scratch + packed extraction temporaries overflow the
         # default 16MB scoped-VMEM budget at 16k+ keys
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
