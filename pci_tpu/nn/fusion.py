@@ -28,6 +28,7 @@ Sampling flavors (constructor arg):
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import flax.linen as nn
@@ -97,7 +98,12 @@ def _prefix_merge(a, b, split, axis):
 # bucket 16 -> 5.1 ms at 0.986 recall, 32 -> 3.6 ms at 0.973, 64 -> 2.9 ms
 # at 0.945; 32 is the speed/recall knee, and 0.97 matches the approx-kNN
 # recall already accepted throughout the flow layers).
-_ALIGN = 32
+_ALIGN = int(os.environ.get("PCI_TPU_FUSION_BUCKET", "32"))
+# Bucket candidates kept per min phase of the flat fused kernel
+# (fusion_knn_tpu winners): (l=64, W=2) keeps the extraction row count of
+# (l=32, W=1) at better collision tolerance; (l=128, W=2) halves it.
+# Env-tunable so the on-chip sweep can A/B end-to-end without edits.
+_FUSION_WINNERS = int(os.environ.get("PCI_TPU_FUSION_WINNERS", "1"))
 
 
 def _adaptive_budgets(N, k, t):
@@ -339,7 +345,8 @@ class PointsFusion(nn.Module):
             # extraction, pre-merged residual block (see fusion_knn_tpu)
             from ..ops.pallas_kernels import knn_fusion_adaptive
 
-            resi = knn_fusion_adaptive(combined, N1, k1, k, _ALIGN)
+            resi = knn_fusion_adaptive(combined, N1, k1, k, _ALIGN,
+                                       winners=_FUSION_WINNERS)
         else:
             c1 = jnp.take_along_axis(points1, perm1[..., None], axis=1)
             c2 = jnp.take_along_axis(points2, perm2[..., None], axis=1)
@@ -401,7 +408,8 @@ class PointsFusionWithFeatures(nn.Module):
             from ..ops.pallas_kernels import knn_fusion_adaptive
 
             idx, resi = knn_fusion_adaptive(
-                combined, N1, k1, k, _ALIGN, emit_idx=True
+                combined, N1, k1, k, _ALIGN, emit_idx=True,
+                winners=_FUSION_WINNERS,
             )
             nfs = ops.index_points(combined_feats, idx)
         else:
@@ -467,7 +475,8 @@ class PointsFusionMulti(nn.Module):
             from ..ops.pallas_kernels import knn_fusion_multi
 
             resi = knn_fusion_multi(
-                combined, jnp.cumsum(n_all, axis=1), k_all, k, _ALIGN
+                combined, jnp.cumsum(n_all, axis=1), k_all, k, _ALIGN,
+                winners=_FUSION_WINNERS,
             )
         else:
             shuffled = [
