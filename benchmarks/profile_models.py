@@ -70,9 +70,16 @@ def main():
     print(f"N={N} device={jax.devices()[0].platform}", flush=True)
 
     if args.table6:
-        # paper Table 6 runtime protocol rows (RTX 2060 totals:
-        # 16384 -> 203.7 ms, 32768 -> 372.4 ms, 65536 -> 725.9 ms)
-        base = {16384: 203.7, 32768: 372.4, 65536: 725.9}
+        # paper Table 6 runtime protocol rows (RTX 2060
+        # warp / fusion / total ms: 16384 -> 167.3/36.4/203.7,
+        # 32768 -> 291.1/81.3/372.4, 65536 -> 529.3/196.6/725.9);
+        # the warp column here = the bidirectional FlowNet3D pass
+        # (shared Siamese encodings) + the linear warp arithmetic,
+        # the fusion column = the PointsFusion head standalone.
+        base = {16384: (167.3, 36.4, 203.7), 32768: (291.1, 81.3, 372.4),
+                65536: (529.3, 196.6, 725.9)}
+        from pci_tpu.nn.fusion import PointsFusion
+
         for n in (16384, 32768, 65536):
             p1, p2 = cl(n=n), cl(n=n)
             zeros = jnp.zeros_like(p1)
@@ -81,16 +88,42 @@ def main():
             rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
             mv = jax.jit(lambda p1=p1, p2=p2, t=t, zeros=zeros: model.init(
                 rngs, p1, p2, zeros, zeros, t, train=False))()
+            r = max(reps // max(n // 16384, 1), 3)
+
+            from pci_tpu.models import FlowNet3D
+
+            flow = FlowNet3D()
+            fv = {"params": mv["params"]["flow"],
+                  "batch_stats": mv["batch_stats"]["flow"]}
+            warp_ms = _slope(
+                lambda v, a, b, c: flow.apply(
+                    v, a + c, b, jnp.zeros_like(a), jnp.zeros_like(a),
+                    train=False, bidirectional=True),
+                (fv, p1, p2), r, f"  warp (bidirectional flow) @{n}",
+            )
+            fusion = PointsFusion((64, 64, 128), sampling="random")
+            fu_v = {"params": mv["params"]["fusion"],
+                    "batch_stats": mv["batch_stats"]["fusion"]}
+            fusion_ms = _slope(
+                lambda v, a, b, tt, c: fusion.apply(
+                    v, a + c, b, 32, tt, train=False,
+                    rngs={"sample": jax.random.key(2)}),
+                (fu_v, p1, p2, t), r, f"  fusion head @{n}",
+            )
             ms = _slope(
                 lambda v, a, b, tt, c: model.apply(
                     v, a + c, b, jnp.zeros_like(a), jnp.zeros_like(a), tt,
                     train=False, rngs={"sample": jax.random.key(2)},
                 ),
-                (mv, p1, p2, t), max(reps // (n // 16384), 3),
-                f"PointINet @{n}",
+                (mv, p1, p2, t), r, f"PointINet total @{n}",
             )
-            print(f"  -> {1e3 / ms:.1f} fps = {base[n] / ms:.1f}x RTX 2060",
-                  flush=True)
+            bw, bf, bt = base[n]
+            print(
+                f"  Table6 @{n}: warp {warp_ms:.1f} vs {bw} | fusion "
+                f"{fusion_ms:.1f} vs {bf} | total {ms:.1f} vs {bt} "
+                f"({1e3 / ms:.1f} fps, {bt / ms:.1f}x RTX 2060)",
+                flush=True,
+            )
         return
 
     # --- batched PointINet throughput ---
