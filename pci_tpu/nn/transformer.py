@@ -133,6 +133,40 @@ class TransformerLayer(nn.Module):
             out = policy.f32(dense(d_points, name="fc2")(res)) + policy.f32(pre)
             return out, None
 
+        use_fused_train = (
+            jax.default_backend() == "tpu"
+            and train
+            and self.d_model % 8 == 0
+            and os.environ.get("PCI_TPU_FUSED_ATTN_TRAIN", "1") == "1"
+        )
+        if use_fused_train:
+            # TRAIN tail as one fused fwd + flash-style recompute bwd
+            # (attention_tpu.vector_attention_trainable): no [B,N,k,d]
+            # intermediate reaches HBM in either direction.  Gradients
+            # match the XLA expression to ~1e-7 rel (interpreter-checked)
+            # — attn maps are not materialized, so None like eval.
+            from ..ops.pallas_kernels.attention_tpu import (
+                vector_attention_trainable,
+            )
+
+            dm = self.d_model
+            zero3 = jnp.zeros((1, 3), q.dtype)
+            zerod = jnp.zeros((1, dm), q.dtype)
+            _ = dense(dm, name="fc_delta_0")(zero3)
+            _ = dense(dm, name="fc_delta_1")(zerod)
+            _ = dense(dm, name="fc_gamma_0")(zerod)
+            _ = dense(dm, name="fc_gamma_1")(zerod)
+            p = self.variables["params"]
+            res = vector_attention_trainable(
+                q, g, delta,
+                p["fc_delta_0"]["kernel"], p["fc_delta_0"]["bias"],
+                p["fc_delta_1"]["kernel"], p["fc_delta_1"]["bias"],
+                p["fc_gamma_0"]["kernel"], p["fc_gamma_0"]["bias"],
+                p["fc_gamma_1"]["kernel"], p["fc_gamma_1"]["bias"],
+            )
+            out = policy.f32(dense(d_points, name="fc2")(res)) + policy.f32(pre)
+            return out, None
+
         k_feat = g[..., : self.d_model].astype(policy.compute_dtype())
         v_feat = g[..., self.d_model :].astype(policy.compute_dtype())
 

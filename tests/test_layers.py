@@ -909,3 +909,74 @@ class TestInterpreterKernelTwins:
         sel = np.asarray(fps_pallas(p, 32, 0, True))
         want = np.asarray(ops.fps(p, 32, 0))[:, :32]
         np.testing.assert_array_equal(sel, want)
+
+
+class TestTrainableAttentionVJP:
+    """Flash-style fused attention backward (attention_tpu
+    vector_attention_trainable): gradients vs jax.grad of the XLA tail,
+    interpreter mode."""
+
+    def _setup(self, rng, B=1, N=300, k=4, d=16):
+        f32 = np.float32
+        mk = lambda *s, sc=1.0: jnp.asarray(  # noqa: E731
+            rng.standard_normal(s).astype(f32) * sc)
+        args = (
+            mk(B, N, d), mk(B, N, k, 2 * d), mk(B, N, k, 3),
+            mk(3, d, sc=0.4), mk(d, sc=0.1), mk(d, d, sc=0.4),
+            mk(d, sc=0.1), mk(d, d, sc=0.4), mk(d, sc=0.1),
+            mk(d, d, sc=0.4), mk(d, sc=0.1),
+        )
+        return args, d
+
+    def test_grads_match_xla_tail(self, rng):
+        from pci_tpu.ops.pallas_kernels.attention_tpu import (
+            vector_attention_trainable,
+        )
+
+        args, d = self._setup(rng)
+
+        def xla_tail(q, g, delta, wd0, bd0, wd1, bd1, wg0, bg0, wg1, bg1):
+            pos = jnp.maximum(delta @ wd0 + bd0, 0.0) @ wd1 + bd1
+            kf, vf = g[..., :d], g[..., d:]
+            attn = q[:, :, None, :] - kf + pos
+            attn = jnp.maximum(attn @ wg0 + bg0, 0.0) @ wg1 + bg1
+            s = jax.nn.softmax(attn / jnp.sqrt(jnp.float32(d)), axis=-2)
+            return jnp.sum(s * (vf + pos), axis=2)
+
+        out_x = xla_tail(*args)
+        out_k = vector_attention_trainable(*args, True)
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_x), rtol=1e-5, atol=1e-5)
+
+        cot = jnp.asarray(
+            np.random.default_rng(7).standard_normal(out_x.shape)
+            .astype(np.float32))
+        gx = jax.grad(lambda *a: jnp.sum(xla_tail(*a) * cot),
+                      argnums=tuple(range(11)))(*args)
+        gk = jax.grad(
+            lambda *a: jnp.sum(vector_attention_trainable(*a, True) * cot),
+            argnums=tuple(range(11)))(*args)
+        for name, a, b in zip(
+            "q g delta wd0 bd0 wd1 bd1 wg0 bg0 wg1 bg1".split(), gx, gk
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5,
+                err_msg=name)
+
+    def test_bf16_primal_cotangent_dtypes(self, rng):
+        """bf16-policy callers pass bf16 q/g: cotangents must come back
+        in the primal dtypes (jax enforces aval equality)."""
+        from pci_tpu.ops.pallas_kernels.attention_tpu import (
+            vector_attention_trainable,
+        )
+
+        args, d = self._setup(rng, N=128)
+        q16 = args[0].astype(jnp.bfloat16)
+        g16 = args[1].astype(jnp.bfloat16)
+        rest = args[2:]
+        grads = jax.grad(
+            lambda q, g: jnp.sum(
+                vector_attention_trainable(q, g, *rest, True)),
+            argnums=(0, 1))(q16, g16)
+        assert grads[0].dtype == jnp.bfloat16
+        assert grads[1].dtype == jnp.bfloat16

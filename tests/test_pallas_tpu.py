@@ -844,3 +844,32 @@ class TestFusionWinnersTpu:
         r_32_1 = recall(32, 1)
         r_64_2 = recall(64, 2)
         assert r_64_2 >= r_32_1 - 0.01, (r_32_1, r_64_2)
+
+
+@requires_tpu
+class TestTrainableAttentionTpu:
+    def test_train_grads_match_xla_path(self, rng, monkeypatch):
+        """TransformerLayer TRAIN path: fused VJP vs XLA expression —
+        loss gradients must match on real Mosaic."""
+        from pci_tpu import nn as pnn
+
+        B, N, C = 1, 2048, 16
+        xyz = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32) * 3)
+        feats = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+        layer = pnn.TransformerLayer(d_model=32, k=8)
+        v = layer.init({"params": jax.random.key(0)}, xyz, feats, train=True)
+
+        def loss(params, env):
+            monkeypatch.setenv("PCI_TPU_FUSED_ATTN_TRAIN", env)
+            out, _ = layer.apply(
+                {"params": params}, xyz, feats, train=True)
+            return jnp.sum(out ** 2)
+
+        g_fused = jax.grad(lambda p: loss(p, "1"))(v["params"])
+        g_xla = jax.grad(lambda p: loss(p, "0"))(v["params"])
+        flat_f = jax.tree_util.tree_leaves(g_fused)
+        flat_x = jax.tree_util.tree_leaves(g_xla)
+        for a, b in zip(flat_f, flat_x):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4
+            )
