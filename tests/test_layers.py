@@ -980,3 +980,28 @@ class TestTrainableAttentionVJP:
             argnums=(0, 1))(q16, g16)
         assert grads[0].dtype == jnp.bfloat16
         assert grads[1].dtype == jnp.bfloat16
+
+
+class TestAuctionInterpreter:
+    """CPU interpreter gate for the Gauss-Seidel auction kernel (was
+    TPU-only; emd_auction_tpu auto-interprets off-TPU)."""
+
+    def test_converges_near_scipy_optimum(self, rng):
+        from scipy.optimize import linear_sum_assignment
+
+        from pci_tpu.ops.pallas_kernels.auction_tpu import emd_auction_tpu
+
+        n = 256
+        a = (rng.standard_normal((n, 3))).astype(np.float32)
+        b = (rng.standard_normal((n, 3)) + 0.2).astype(np.float32)
+        d, idx, conv = emd_auction_tpu(
+            jnp.asarray(a), jnp.asarray(b), eps=1e-3, max_passes=128
+        )
+        assert bool(conv)
+        gi = np.asarray(idx)
+        assert len(set(gi.tolist())) == n  # a permutation
+        cost = float(np.asarray(d).sum())
+        dm = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        r, c = linear_sum_assignment(dm)
+        opt = float(dm[r, c].sum())
+        assert cost <= opt * 1.05 + 1e-6, (cost, opt)
