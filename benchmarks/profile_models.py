@@ -16,35 +16,11 @@ import time
 import numpy as np
 
 
+from benchmarks.timing import slope as _shared_slope
+
+
 def _slope(fn, args, reps, label):
-    import jax
-    import jax.numpy as jnp
-
-    def make(length):
-        @jax.jit
-        def run(seed, args):
-            def body(carry, _):
-                out = fn(*args, carry)
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                red = jnp.sum(leaf.astype(jnp.float32) ** 2) ** 0.5
-                return carry * 1e-6 + 1e-6 * red, None
-
-            carry, _ = jax.lax.scan(body, seed, None, length=length)
-            return carry
-
-        return run
-
-    lo, hi = make(reps), make(5 * reps)
-    float(lo(jnp.float32(0.0), args))
-    float(hi(jnp.float32(0.0), args))
-    t0 = time.perf_counter()
-    float(lo(jnp.float32(1.0), args))
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(hi(jnp.float32(1.0), args))
-    dt = (time.perf_counter() - t0 - t_lo) / (4 * reps) * 1e3
-    print(f"{label:46s} {dt:8.2f} ms", flush=True)
-    return dt
+    return _shared_slope(fn, args, reps, label, width=46, digits=2)
 
 
 def main():

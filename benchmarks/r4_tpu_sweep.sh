@@ -5,7 +5,8 @@
 #
 #   bash benchmarks/r4_tpu_sweep.sh [stage...]   # default: all stages
 #
-# Stages: probes tests ab table6 cells64k train emd flownet isapci bench
+# Stages: probes tests ab table6 cells64k train emd flownet isapci
+#         decodeab resiab fusionw attnab bench
 set -x
 cd "$(dirname "$0")/.."
 STAGES="${@:-probes tests ab table6 cells64k train emd flownet isapci decodeab resiab fusionw attnab bench}"

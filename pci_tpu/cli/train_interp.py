@@ -45,15 +45,23 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def make_train_step(model, optimizer):
+def make_train_step(model, optimizer, remat: bool = False):
     def step(state, batch, rng, momentum):
-        def loss_fn(params):
-            out, new_vars = model.apply(
+        def fwd(params, ini_pc, end_pc, color, t, rng):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["ini_pc"], batch["end_pc"],
-                batch["color"], batch["color"], batch["t"],
+                ini_pc, end_pc, color, color, t,
                 train=True, momentum=momentum,
                 rngs={"sample": rng}, mutable=["batch_stats"],
+            )
+
+        if remat:
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(params):
+            out, new_vars = fwd(
+                params, batch["ini_pc"], batch["end_pc"], batch["color"],
+                batch["t"], rng,
             )
             loss = ops.chamfer_distance(out[..., :3], batch["mid_pc"][..., :3])
             return loss, new_vars["batch_stats"]
@@ -111,7 +119,8 @@ def main(argv=None):
         freeze_subtrees=("flow",) if args.freeze else (),
     )
     state = create_train_state(variables["params"], variables["batch_stats"], optimizer)
-    step_fn = jax.jit(make_train_step(model, optimizer), donate_argnums=(0,))
+    step_fn = jax.jit(make_train_step(model, optimizer, remat=args.remat),
+                      donate_argnums=(0,))
 
     logger = MetricLogger(args.log_dir, use_wandb=args.use_wandb, config=vars(args))
     keeper = BestKeeper(args.save_dir, prefix="interp")

@@ -102,7 +102,10 @@ def main(argv=None):
     )
     state = create_train_state(variables["params"], variables["batch_stats"], optimizer)
     step_fn = jax.jit(
-        make_sceneflow_train_step(model, optimizer, supervised), donate_argnums=(0,)
+        make_sceneflow_train_step(
+            model, optimizer, supervised, remat=bool(getattr(args, "remat", False))
+        ),
+        donate_argnums=(0,)
     )
 
     logger = MetricLogger(args.log_dir, use_wandb=args.use_wandb, config=vars(args))

@@ -23,6 +23,25 @@ class TransformerLayer(nn.Module):
     d_model: int
     k: int
 
+    def _materialize_tail_params(self, dtype):
+        """Create fc_delta_* / fc_gamma_* with dummy calls so fused
+        routes keep the checkpoint tree identical to the XLA expression
+        (single definition — three routing branches depend on it)."""
+        dm = self.d_model
+        z3 = jnp.zeros((1, 3), dtype)
+        zd = jnp.zeros((1, dm), dtype)
+        _ = dense(dm, name="fc_delta_0")(z3)
+        _ = dense(dm, name="fc_delta_1")(zd)
+        _ = dense(dm, name="fc_gamma_0")(zd)
+        _ = dense(dm, name="fc_gamma_1")(zd)
+        p = self.variables["params"]
+        return (
+            p["fc_delta_0"]["kernel"], p["fc_delta_0"]["bias"],
+            p["fc_delta_1"]["kernel"], p["fc_delta_1"]["bias"],
+            p["fc_gamma_0"]["kernel"], p["fc_gamma_0"]["bias"],
+            p["fc_gamma_1"]["kernel"], p["fc_gamma_1"]["bias"],
+        )
+
     @nn.compact
     def __call__(self, xyz, feats, *, train: bool = False, mesh=None):
         """xyz ``[B,N,3]``, feats ``[B,N,d_points]`` ->
@@ -55,16 +74,12 @@ class TransformerLayer(nn.Module):
             # checkpoint layout matches the unsharded path exactly
             dm = self.d_model
             zdp = jnp.zeros((1, d_points), jnp.float32)
-            z3 = jnp.zeros((1, 3), jnp.float32)
             zd = jnp.zeros((1, dm), jnp.float32)
             _ = dense(dm, name="fc1")(zdp)
             _ = dense(dm, use_bias=False, name="w_qs")(zd)
             _ = dense(dm, use_bias=False, name="w_ks")(zd)
             _ = dense(dm, use_bias=False, name="w_vs")(zd)
-            _ = dense(dm, name="fc_delta_0")(z3)
-            _ = dense(dm, name="fc_delta_1")(zd)
-            _ = dense(dm, name="fc_gamma_0")(zd)
-            _ = dense(dm, name="fc_gamma_1")(zd)
+            self._materialize_tail_params(jnp.float32)
             _ = dense(d_points, name="fc2")(zd)
             out = transformer_layer_sharded(
                 self.variables["params"], xyz, feats,
@@ -115,21 +130,8 @@ class TransformerLayer(nn.Module):
                 fused_vector_attention,
             )
 
-            dm = self.d_model
-            zero3 = jnp.zeros((1, 3), q.dtype)
-            zerod = jnp.zeros((1, dm), q.dtype)
-            _ = dense(dm, name="fc_delta_0")(zero3)
-            _ = dense(dm, name="fc_delta_1")(zerod)
-            _ = dense(dm, name="fc_gamma_0")(zerod)
-            _ = dense(dm, name="fc_gamma_1")(zerod)
-            p = self.variables["params"]
-            res = fused_vector_attention(
-                q, g, delta,
-                p["fc_delta_0"]["kernel"], p["fc_delta_0"]["bias"],
-                p["fc_delta_1"]["kernel"], p["fc_delta_1"]["bias"],
-                p["fc_gamma_0"]["kernel"], p["fc_gamma_0"]["bias"],
-                p["fc_gamma_1"]["kernel"], p["fc_gamma_1"]["bias"],
-            )
+            tail = self._materialize_tail_params(q.dtype)
+            res = fused_vector_attention(q, g, delta, *tail)
             out = policy.f32(dense(d_points, name="fc2")(res)) + policy.f32(pre)
             return out, None
 
@@ -149,21 +151,8 @@ class TransformerLayer(nn.Module):
                 vector_attention_trainable,
             )
 
-            dm = self.d_model
-            zero3 = jnp.zeros((1, 3), q.dtype)
-            zerod = jnp.zeros((1, dm), q.dtype)
-            _ = dense(dm, name="fc_delta_0")(zero3)
-            _ = dense(dm, name="fc_delta_1")(zerod)
-            _ = dense(dm, name="fc_gamma_0")(zerod)
-            _ = dense(dm, name="fc_gamma_1")(zerod)
-            p = self.variables["params"]
-            res = vector_attention_trainable(
-                q, g, delta,
-                p["fc_delta_0"]["kernel"], p["fc_delta_0"]["bias"],
-                p["fc_delta_1"]["kernel"], p["fc_delta_1"]["bias"],
-                p["fc_gamma_0"]["kernel"], p["fc_gamma_0"]["bias"],
-                p["fc_gamma_1"]["kernel"], p["fc_gamma_1"]["bias"],
-            )
+            tail = self._materialize_tail_params(q.dtype)
+            res = vector_attention_trainable(q, g, delta, *tail)
             out = policy.f32(dense(d_points, name="fc2")(res)) + policy.f32(pre)
             return out, None
 

@@ -103,22 +103,32 @@ def make_interp_eval_step(model) -> Callable:
 
 
 def make_sceneflow_train_step(
-    model, optimizer: optax.GradientTransformation, supervised: bool
+    model, optimizer: optax.GradientTransformation, supervised: bool,
+    remat: bool = False,
 ) -> Callable:
     """FlowNet3D pretraining step (train_sceneflow.py:49-208).
 
     supervised=True:  masked L2 flow criterion on (points, gt flow) pairs.
     supervised=False: unsupervised refine — chamfer(points1 + flow, points2).
+    ``remat`` rematerializes the forward in the backward (jax.checkpoint).
     """
 
     def step(state: TrainState, batch, momentum):
-        def loss_fn(params):
-            flow, new_vars = model.apply(
+        def fwd(params, p1, p2, f1, f2):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["points1"], batch["points2"],
-                batch["feats1"], batch["feats2"],
+                p1, p2, f1, f2,
                 train=True, momentum=momentum,
                 mutable=["batch_stats"],
+            )
+
+        if remat:
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(params):
+            flow, new_vars = fwd(
+                params, batch["points1"], batch["points2"],
+                batch["feats1"], batch["feats2"],
             )
             if supervised:
                 loss = flow_criterion(flow, batch["flow"], batch["mask"])
