@@ -128,15 +128,16 @@ def _fused_kernel_ok(points, k):
 
 
 # Above this combined-cloud size the flat fusion kernel's O(N^2/l) bucket
-# phase loses to F cell-pruned passes at O(F * N * M * C) — the paper's
-# 65,536-pt protocol row (Table 6) runs here.  Eval-only: knn_cells has
-# no VJP, so training keeps the flat kernel (custom fixed-neighbor VJP).
+# phase loses to the cell-pruned route — the paper's 65,536-pt protocol
+# row (Table 6) runs here.  The 2-segment single-pass kernel carries the
+# flat kernel's fixed-neighbor VJP (knn_fusion_cells_grad), so training
+# routes here too; the F>2 2-pass route stays eval-only (no VJP).
 _CELLS_FUSION_N = 32768
 
 
-def _cells_route_ok(points, k, train):
+def _cells_route_ok(points, k, train, n_seg=2):
     return (
-        not train
+        (n_seg == 2 or not train)
         and jax.default_backend() == "tpu"
         and points.shape[-2] >= _CELLS_FUSION_N
         and k <= 64
@@ -163,15 +164,19 @@ def _cells_fusion_knn(combined, seg_ends, budgets, k, emit_idx=False, *,
         # single-pass kernel: one distance evaluation per scanned chunk
         # (shared by both segments' bucket minima) and exactly k
         # extraction rounds total — the 2-pass route below pays both
-        # twice (ops/pallas_kernels/fusion_cells_tpu.py)
-        from ..ops.pallas_kernels import knn_fusion_cells
-
-        return knn_fusion_cells(
-            combined, seg_ends[:, 0], budgets[:, 0], k,
-            chunk=chunk, m_chunks=m_chunks, bucket=bucket,
-            winners=winners, tile=tile, emit_idx=emit_idx,
-            interpret=interpret,
+        # twice (ops/pallas_kernels/fusion_cells_tpu.py).  The grad
+        # wrapper carries the fixed-neighbor VJP (training at 32k+).
+        from ..ops.pallas_kernels.fusion_cells_tpu import (
+            knn_fusion_cells_grad,
         )
+
+        idx, resi = knn_fusion_cells_grad(
+            combined, seg_ends[:, 0], budgets[:, 0], k, chunk,
+            m_chunks, bucket, winners, tile, interpret,
+        )
+        if emit_idx:
+            return idx, resi
+        return resi
     pos = jnp.arange(N, dtype=jnp.int32)[None, :]
     qpos = jnp.broadcast_to(pos[:, :, None], (B, N, k))
     start = jnp.zeros((B, 1), jnp.int32)
@@ -465,7 +470,7 @@ class PointsFusionMulti(nn.Module):
         ]
         combined, _ = _composed_shuffle_merge(points_list, perms, n_all)
 
-        if _cells_route_ok(points_list[0], k, train):
+        if _cells_route_ok(points_list[0], k, train, n_seg=len(points_list)):
             resi = _cells_fusion_knn(
                 combined, jnp.cumsum(n_all, axis=1), k_all, k
             )

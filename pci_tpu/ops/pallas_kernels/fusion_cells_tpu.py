@@ -311,3 +311,49 @@ def knn_fusion_cells(
     if emit_idx:
         return idx, resi
     return resi
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def knn_fusion_cells_grad(combined, split, k1, k, chunk=512, m_chunks=16,
+                          bucket=16, winners=2, tile=256, interpret=False):
+    """:func:`knn_fusion_cells` with the flat kernel's FIXED-NEIGHBOR
+    backward (fusion_knn_tpu._fusion_core_bwd semantics): gradients
+    through the residuals flow into ``combined`` as if the neighbor
+    selection were constant — one-hot at idx minus one-hot at the query —
+    so the cells route is usable in TRAINING at 32k+ too.
+
+    Returns ``(idx, resi)`` (always emits idx: the backward needs it).
+    """
+    return knn_fusion_cells(
+        combined, split, k1, k, chunk, m_chunks, bucket, winners, tile,
+        True, interpret,
+    )
+
+
+def _kfc_fwd(combined, split, k1, k, chunk, m_chunks, bucket, winners,
+             tile, interpret=False):
+    idx, resi = knn_fusion_cells(
+        combined, split, k1, k, chunk, m_chunks, bucket, winners, tile,
+        True, interpret,
+    )
+    return (idx, resi), (idx, split, k1)
+
+
+def _kfc_bwd(k, chunk, m_chunks, bucket, winners, tile, interpret, res, g):
+    import numpy as np
+
+    idx, split, k1 = res
+    g_resi = g[1]  # idx cotangent is float0
+    B, N, k_, _ = g_resi.shape
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    g_nb = (
+        jnp.zeros((B, N, 3), g_resi.dtype)
+        .at[bidx, idx.reshape(B, N * k_)]
+        .add(g_resi.reshape(B, N * k_, 3))
+    )
+    g_comb = g_nb - jnp.sum(g_resi, axis=2)
+    zint = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return g_comb, zint(split), zint(k1)
+
+
+knn_fusion_cells_grad.defvjp(_kfc_fwd, _kfc_bwd)

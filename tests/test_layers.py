@@ -1005,3 +1005,38 @@ class TestAuctionInterpreter:
         r, c = linear_sum_assignment(dm)
         opt = float(dm[r, c].sum())
         assert cost <= opt * 1.05 + 1e-6, (cost, opt)
+
+class TestCellsFusionGrad:
+    def test_grad_matches_fixed_neighbor_gather(self, rng):
+        """knn_fusion_cells_grad's backward == differentiating the
+        fixed-neighbor gather resi = combined[idx] - combined[:,None]."""
+        from pci_tpu.ops.pallas_kernels.fusion_cells_tpu import (
+            knn_fusion_cells_grad,
+        )
+
+        B, N, k = 1, 512, 8
+        combined = cloud(rng, B, N, scale=3.0)
+        split = jnp.asarray([256], jnp.int32)
+        k1 = jnp.asarray([5], jnp.int32)
+        cot = jnp.asarray(
+            np.random.default_rng(3).standard_normal((B, N, k, 3))
+            .astype(np.float32))
+
+        def loss_kernel(c):
+            idx, resi = knn_fusion_cells_grad(
+                c, split, k1, k, 128, 4, 2, 2, 128, True)
+            return jnp.sum(resi * cot)
+
+        idx, _ = knn_fusion_cells_grad(
+            combined, split, k1, k, 128, 4, 2, 2, 128, True)
+        idx = jax.lax.stop_gradient(idx)
+
+        def loss_ref(c):
+            nn_pts = jax.vmap(lambda p, i: p[i])(c, idx)
+            resi = nn_pts - c[:, :, None, :]
+            return jnp.sum(resi * cot)
+
+        gk = jax.grad(loss_kernel)(combined)
+        gr = jax.grad(loss_ref)(combined)
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gr), rtol=1e-5, atol=1e-6)
