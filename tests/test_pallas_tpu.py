@@ -873,3 +873,34 @@ class TestTrainableAttentionTpu:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4
             )
+
+
+@requires_tpu
+class TestCellsFusionTrainTpu:
+    def test_fusion_train_grads_finite_at_32k(self, rng):
+        """PointsFusion TRAIN at 32k routes the cells kernel with the
+        fixed-neighbor VJP: one step's grads must be finite/nonzero."""
+        from pci_tpu import nn as pnn
+
+        B, N = 1, 32768
+        p1 = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32) * 5)
+        p2 = p1 + 0.2
+        t = jnp.asarray([0.5], jnp.float32)
+        fusion = pnn.PointsFusion((16, 32), sampling="random")
+        v = fusion.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            p1, p2, 32, t, train=True,
+        )
+
+        def loss(params):
+            out, _ = fusion.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                p1, p2, 32, t, train=True, mutable=["batch_stats"],
+                rngs={"sample": jax.random.key(2)},
+            )
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+        assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
