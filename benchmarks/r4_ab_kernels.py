@@ -203,6 +203,14 @@ def section_cells64k(reps, npoints=65536):
         lambda s, kk, c: knn_fusion_cells(combined + c, s, kk, k),
         (split, k1), max(reps // 4, 3), "fusion kNN 64k CELLS 1-pass",
     )
+    # bucket 32 halves the extraction rows (the 1-pass kernel's dominant
+    # cost) at W=2 collision tolerance — candidate new default if recall
+    # holds (compare the agreement lines)
+    single32 = _slope(
+        lambda s, kk, c: knn_fusion_cells(
+            combined + c, s, kk, k, bucket=32),
+        (split, k1), max(reps // 4, 3), "fusion kNN 64k CELLS 1-pass l=32",
+    )
     twop = _slope(
         lambda se, bu, c: _cells_fusion_knn(
             combined + c, se, bu, k, single_pass=False),
@@ -215,10 +223,14 @@ def section_cells64k(reps, npoints=65536):
         combined, split, k1, k, 64, False, True, winners=1)[0])
     ci = np.asarray(knn_fusion_cells(
         combined, split, k1, k, emit_idx=True)[0])
-    qs = range(0, npoints, 31)
-    agree = sum(len(set(fi[0, q]) & set(ci[0, q])) for q in qs) / (len(list(qs)) * k)
-    print(f"  -> flat {flat:.2f} vs 1-pass {single:.2f} vs 2-pass "
-          f"{twop:.2f} ms; 1-pass/flat agreement {agree:.3f}", flush=True)
+    ci32 = np.asarray(knn_fusion_cells(
+        combined, split, k1, k, bucket=32, emit_idx=True)[0])
+    qs = list(range(0, npoints, 31))
+    agree = sum(len(set(fi[0, q]) & set(ci[0, q])) for q in qs) / (len(qs) * k)
+    agree32 = sum(len(set(fi[0, q]) & set(ci32[0, q])) for q in qs) / (len(qs) * k)
+    print(f"  -> flat {flat:.2f} vs 1-pass {single:.2f} (l=32: "
+          f"{single32:.2f}) vs 2-pass {twop:.2f} ms; agreement vs flat "
+          f"l=16 {agree:.3f} / l=32 {agree32:.3f}", flush=True)
 
 
 def main():
