@@ -233,11 +233,61 @@ def section_cells64k(reps, npoints=65536):
           f"l=16 {agree:.3f} / l=32 {agree32:.3f}", flush=True)
 
 
+def section_bwdab(reps, npoints=16384):
+    """Scatter vs sort formulation of the kNN-transpose backward
+    (scatter_add_rows) on the fusion-training workload: [B, N·k] duplicate
+    indices into [B, N, 3]."""
+    import jax
+    import jax.numpy as jnp
+
+    from pci_tpu.ops.gather import scatter_add_rows
+
+    k = 32
+    combined, half = _combined_16k(npoints)
+    N = combined.shape[1]
+    rng = np.random.default_rng(0)
+    # realistic index distribution: each query's k neighbors are nearby
+    # rows (heavy local duplication), not uniform
+    base = np.arange(N, dtype=np.int64)[:, None]
+    idx = np.clip(base + rng.integers(-64, 65, (N, k)), 0, N - 1)
+    idx = jnp.asarray(idx.reshape(1, N * k).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(1, N * k, 3)).astype(np.float32))
+
+    res = {}
+    for method in ("scatter", "sort"):
+        res[method] = _slope(
+            lambda gg, c, m=method: scatter_add_rows(idx, gg + c, N, method=m),
+            (g,), reps, f"scatter_add_rows 16k*32 [{method}]",
+        )
+    a = np.asarray(scatter_add_rows(idx, g, N, method="scatter"))
+    b = np.asarray(scatter_add_rows(idx, g, N, method="sort"))
+    err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-30)
+    print(f"  -> sort vs scatter: {res['sort']:.3f} vs {res['scatter']:.3f}"
+          f" ms, max rel err {err:.2e}", flush=True)
+
+    # end-to-end: grad of a fusion-core consumer under each method
+    from pci_tpu.ops.pallas_kernels.fusion_knn_tpu import _fusion_core
+
+    seg_ends = jnp.asarray([[half, N]], jnp.int32)
+    budgets = jnp.asarray([[16, 16]], jnp.int32)
+    interp = jax.devices()[0].platform != "tpu"  # CPU smoke path
+    loss = lambda c: jnp.sum(  # noqa: E731
+        _fusion_core(c, seg_ends, budgets, k, 64, 1, interp)[1] ** 2)
+    for method in ("scatter", "sort"):
+        os.environ["PCI_TPU_KNN_BWD"] = method
+        _slope(
+            lambda c, z: jax.grad(loss)(c + z), (combined,), max(reps // 2, 3),
+            f"fusion core fwd+bwd 16k [{method}]",
+        )
+    os.environ.pop("PCI_TPU_KNN_BWD", None)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sections", nargs="+",
                     default=["flownet", "pointinet", "fusionab"],
-                    choices=["flownet", "pointinet", "fusionab", "cells64k"])
+                    choices=["flownet", "pointinet", "fusionab", "cells64k",
+                             "bwdab"])
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--npoints", type=int, default=0,
                     help="override point count (CPU smoke)")

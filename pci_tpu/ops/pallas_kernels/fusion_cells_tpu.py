@@ -342,14 +342,13 @@ def _kfc_fwd(combined, split, k1, k, chunk, m_chunks, bucket, winners,
 def _kfc_bwd(k, chunk, m_chunks, bucket, winners, tile, interpret, res, g):
     import numpy as np
 
+    from pci_tpu.ops.gather import scatter_add_rows
+
     idx, split, k1 = res
     g_resi = g[1]  # idx cotangent is float0
     B, N, k_, _ = g_resi.shape
-    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    g_nb = (
-        jnp.zeros((B, N, 3), g_resi.dtype)
-        .at[bidx, idx.reshape(B, N * k_)]
-        .add(g_resi.reshape(B, N * k_, 3))
+    g_nb = scatter_add_rows(
+        idx.reshape(B, N * k_), g_resi.reshape(B, N * k_, 3), N
     )
     g_comb = g_nb - jnp.sum(g_resi, axis=2)
     zint = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731

@@ -333,14 +333,13 @@ def _fusion_core_fwd(combined, seg_ends, budgets, k, bucket, winners,
 def _fusion_core_bwd(k, bucket, winners, interpret, res, g):
     import numpy as np
 
+    from pci_tpu.ops.gather import scatter_add_rows
+
     idx, seg_ends, budgets = res
     g_resi = g[1]  # [B, N, k, 3]; idx cotangent is float0
     B, N, k_, _ = g_resi.shape
-    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    g_nb = (
-        jnp.zeros((B, N, 3), g_resi.dtype)
-        .at[bidx, idx.reshape(B, N * k_)]
-        .add(g_resi.reshape(B, N * k_, 3))
+    g_nb = scatter_add_rows(
+        idx.reshape(B, N * k_), g_resi.reshape(B, N * k_, 3), N
     )
     g_comb = g_nb - jnp.sum(g_resi, axis=2)
     zint = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731

@@ -371,6 +371,32 @@ class TestGather:
         want = np.stack([pts[b][idx[b]] for b in range(2)])
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize("method", ["scatter", "sort"])
+    def test_scatter_add_rows(self, rng, method):
+        from pci_tpu.ops.gather import scatter_add_rows
+
+        B, Q, N, C = 3, 257, 41, 3
+        # heavy duplication (the kNN-transpose regime) + some empty rows
+        idx = rng.integers(0, N - 5, (B, Q)).astype(np.int32)
+        g = rng.normal(size=(B, Q, C)).astype(np.float32)
+        got = np.asarray(
+            scatter_add_rows(jnp.asarray(idx), jnp.asarray(g), N,
+                             method=method))
+        want = np.zeros((B, N, C), np.float32)
+        for b in range(B):
+            np.add.at(want[b], idx[b], g[b])
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_scatter_add_rows_env_route(self, rng, monkeypatch):
+        from pci_tpu.ops.gather import scatter_add_rows
+
+        idx = jnp.asarray(rng.integers(0, 8, (1, 64)).astype(np.int32))
+        g = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32))
+        monkeypatch.setenv("PCI_TPU_KNN_BWD", "sort")
+        a = np.asarray(scatter_add_rows(idx, g, 8))
+        b = np.asarray(scatter_add_rows(idx, g, 8, method="scatter"))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
 
 class TestSinkhornEmd:
     @pytest.mark.parametrize("n", [256, 1024])
