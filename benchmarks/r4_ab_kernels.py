@@ -65,14 +65,20 @@ def section_flownet(reps, npoints=16384):
     mv = jax.jit(lambda: model.init(
         {"params": jax.random.key(0)}, p1, p2, f0, f0, train=False))()
 
-    def run_config(label, setconv, knnconv):
+    def run_config(label, setconv, knnconv, mid=False, enc=False):
         import pci_tpu.nn.layers as L
+        from pci_tpu.models import flownet3d as fmod
 
         orig_s, orig_k = L._setconv_ok, L._knnconv_ok
+        orig_m, orig_e = fmod._mid_ok, fmod._enc_ok
         if not setconv:
             L._setconv_ok = lambda *a, **k: False
         if not knnconv:
             L._knnconv_ok = lambda *a, **k: False
+        if not mid:
+            fmod._mid_ok = lambda train: False
+        if not enc:
+            fmod._enc_ok = lambda train: False
         try:
             return _slope(
                 lambda v, a, b, c: model.apply(
@@ -82,12 +88,17 @@ def section_flownet(reps, npoints=16384):
             )
         finally:
             L._setconv_ok, L._knnconv_ok = orig_s, orig_k
+            fmod._mid_ok, fmod._enc_ok = orig_m, orig_e
 
+    full = run_config("enc+mid megakernels", True, True, mid=True, enc=True)
+    mid = run_config("mid megakernel only", True, True, mid=True)
     base = run_config("setconv+knnconv ON ", True, True)
     no_s = run_config("setconv OFF        ", False, True)
     no_k = run_config("knnconv OFF        ", True, False)
     none = run_config("both OFF (pure XLA)", False, False)
-    print(f"  -> setconv saves {no_s - base:+.3f} ms, knnconv saves "
+    print(f"  -> enc megakernel saves {mid - full:+.3f} ms, mid "
+          f"megakernel saves {base - mid:+.3f} ms vs layer kernels; "
+          f"setconv saves {no_s - base:+.3f} ms, knnconv saves "
           f"{no_k - base:+.3f} ms, both save {none - base:+.3f} ms",
           flush=True)
 
@@ -107,12 +118,18 @@ def section_pointinet(reps, npoints=16384):
         {"params": jax.random.key(0), "sample": jax.random.key(1)},
         p1, p2, zeros, zeros, t, train=False))()
 
-    def run_config(label, tail_on):
+    def run_config(label, tail_on, mid=True, enc=True):
         import pci_tpu.nn.fusion as F
+        from pci_tpu.models import flownet3d as fmod
 
         orig = F._fusion_tail_ok
+        orig_m, orig_e = fmod._mid_ok, fmod._enc_ok
         if not tail_on:
             F._fusion_tail_ok = lambda train: False
+        if not mid:
+            fmod._mid_ok = lambda train: False
+        if not enc:
+            fmod._enc_ok = lambda train: False
         try:
             return _slope(
                 lambda v, a, b, tt, c: model.apply(
@@ -122,10 +139,15 @@ def section_pointinet(reps, npoints=16384):
             )
         finally:
             F._fusion_tail_ok = orig
+            fmod._mid_ok, fmod._enc_ok = orig_m, orig_e
 
-    base = run_config("fusion_tail ON ", True)
-    off = run_config("fusion_tail OFF", False)
-    print(f"  -> fusion_tail saves {off - base:+.3f} ms", flush=True)
+    base = run_config("all megakernels ON", True)
+    no_e = run_config("enc OFF           ", True, enc=False)
+    no_m = run_config("mid OFF           ", True, mid=False)
+    off = run_config("fusion_tail OFF   ", False)
+    print(f"  -> fusion_tail saves {off - base:+.3f} ms, decode-mid "
+          f"saves {no_m - base:+.3f} ms, enc saves {no_e - base:+.3f} ms",
+          flush=True)
 
 
 def _combined_16k(npoints=16384):

@@ -15,15 +15,42 @@ from __future__ import annotations
 import os
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
+from .. import ops
 from ..nn.layers import (
     Classifier,
     FeaturePropagation,
     FlowEmbedding,
     SetConv,
     SetUpConv,
+    fold_pointmlp_vars,
 )
+
+
+def _enc_ok(train: bool) -> bool:
+    """Route the Siamese encoder (set_conv1 + set_conv2) to the fused
+    two-stage megakernel (ops/pallas_kernels/flowenc_tpu.py): TPU, eval
+    only.  Module-level for tests / A-B flips."""
+    return (
+        jax.default_backend() == "tpu"
+        and not train
+        and os.environ.get("PCI_TPU_ENC_KERNEL", "1") == "1"
+    )
+
+
+def _mid_ok(train: bool) -> bool:
+    """Route the decode mid-section (flow_embedding .. set_upconv3) plus
+    the fp+classifier tail to the fused kernels
+    (ops/pallas_kernels/flowmid_tpu.py + knnconv n_final): TPU, eval
+    only.  Module-level so tests can monkeypatch it on (the kernel runs
+    in interpreter mode off-TPU)."""
+    return (
+        jax.default_backend() == "tpu"
+        and not train
+        and os.environ.get("PCI_TPU_MID_KERNEL", "1") == "1"
+    )
 
 
 class FlowNet3D(nn.Module):
@@ -58,8 +85,38 @@ class FlowNet3D(nn.Module):
         p_1, f_1, p_2, f_2), reusable across every pair the cloud
         appears in."""
         kw = dict(train=train, momentum=momentum)
+        if _enc_ok(train) and not self.is_initializing():
+            return self._encode_fused(xyz, feats)
         p_1, f_1 = self.set_conv1(xyz, feats, **kw)
         p_2, f_2 = self.set_conv2(p_1, f_1, **kw)
+        return (xyz, feats, p_1, f_1, p_2, f_2)
+
+    def _encode_fused(self, xyz, feats):
+        """Eval encode as one kernel: set_conv1 streams the input cloud,
+        set_conv2 consumes its VMEM-resident output (flowenc_tpu)."""
+        from ..ops.pallas_kernels.flowenc_tpu import flowenc_fused
+
+        sc1, sc2 = self.set_conv1, self.set_conv2
+        interpret = jax.default_backend() != "tpu"  # interpreter for tests
+        p_1 = ops.fps_points(xyz, sc1.npoint, 0, exact=sc1.fps_exact)
+        p_2 = ops.fps_points(p_1, sc2.npoint, 0, exact=sc2.fps_exact)
+        p = self.variables["params"]
+        st = self.variables["batch_stats"]
+        flat = (
+            fold_pointmlp_vars(
+                p["set_conv1"]["PointMLP_0"],
+                st["set_conv1"]["PointMLP_0"], len(sc1.mlp),
+            )
+            + fold_pointmlp_vars(
+                p["set_conv2"]["PointMLP_0"],
+                st["set_conv2"]["PointMLP_0"], len(sc2.mlp),
+            )
+        )
+        f_1, f_2 = flowenc_fused(
+            xyz, feats, p_1, p_2, flat,
+            sc1.radius, sc1.nsample, sc2.radius, sc2.nsample,
+            len(sc1.mlp), len(sc2.mlp), interpret,
+        )
         return (xyz, feats, p_1, f_1, p_2, f_2)
 
     def decode(self, enc_a, enc_b, *, train: bool = False, momentum=0.1):
@@ -67,6 +124,10 @@ class FlowNet3D(nn.Module):
         kw = dict(train=train, momentum=momentum)
         xyza, featsa, pa_1, fa_1, pa_2, fa_2 = enc_a
         _, _, _, _, pb_2, fb_2 = enc_b
+        if _mid_ok(train) and not self.is_initializing():
+            return self._decode_fused(
+                xyza, featsa, pa_1, fa_1, pa_2, fa_2, pb_2, fb_2
+            )
         emb = self.flow_embedding(pa_2, pb_2, fa_2, fb_2, **kw)
         pa_3, fa_3 = self.set_conv3(pa_2, emb, **kw)
         pa_4, fa_4 = self.set_conv4(pa_3, fa_3, **kw)
@@ -77,6 +138,62 @@ class FlowNet3D(nn.Module):
         nf_1 = self.set_upconv3(pa_2, pa_1, nf_2, fa_1, **kw)
         nf = self.fp(pa_1, xyza, nf_1, featsa, **kw)
         return self.classifier(nf, **kw)
+
+    def _decode_fused(self, xyza, featsa, pa_1, fa_1, pa_2, fa_2, pb_2,
+                      fb_2):
+        """Eval decode in TWO kernels: the whole coarse mid-section
+        (flow_embedding .. set_upconv3) as one VMEM-resident megakernel,
+        then the dense FeaturePropagation with the classifier's folded
+        BN layer + final linear riding its MLP2 chain (one [N,3] write
+        instead of a [N,256] round-trip + two more launches)."""
+        from ..ops.pallas_kernels.flowmid_tpu import flowmid_fused
+        from ..ops.pallas_kernels.knnconv_tpu import knnconv_fused
+        from ..ops.pallas_kernels.setconv_tpu import fold_bn_layers
+
+        interpret = jax.default_backend() != "tpu"  # interpreter for tests
+        xyz3 = ops.fps_points(
+            pa_2, self.set_conv3.npoint, 0, exact=self.set_conv3.fps_exact
+        )
+        xyz4 = ops.fps_points(
+            xyz3, self.set_conv4.npoint, 0, exact=self.set_conv4.fps_exact
+        )
+        p = self.variables["params"]
+        st = self.variables["batch_stats"]
+        fold = lambda name, sub, n: fold_pointmlp_vars(  # noqa: E731
+            p[name][sub], st[name][sub], n
+        )
+        flat = (
+            fold("flow_embedding", "PointMLP_0", 3)
+            + fold("set_conv3", "PointMLP_0", 3)
+            + fold("set_conv4", "PointMLP_0", 3)
+            + fold("set_upconv1", "conv2", 2)
+            + fold("set_upconv2", "conv1", 3)
+            + fold("set_upconv2", "conv2", 1)
+            + fold("set_upconv3", "conv1", 3)
+            + fold("set_upconv3", "conv2", 1)
+        )
+        nf_1 = flowmid_fused(
+            pa_1, fa_1, pa_2, fa_2, pb_2, fb_2, xyz3, xyz4, flat,
+            self.flow_embedding.nsample,
+            self.set_conv3.radius, self.set_conv3.nsample,
+            self.set_conv4.radius, self.set_conv4.nsample,
+            self.set_upconv1.nsample, interpret,
+        )
+        # fp + classifier tail: BN-folded Dense(128) keeps its ReLU, the
+        # final Dense(3) is linear (n_final=1)
+        cp, cs_ = p["classifier"], st["classifier"]
+        tail = (
+            fold("fp", "PointMLP_0", len(self.fp.mlp))
+            + fold_bn_layers(
+                [cp["Dense_0"]], [cp["BatchNorm_0"]], [cs_["BatchNorm_0"]]
+            )
+            + (cp["Dense_1"]["kernel"].T, cp["Dense_1"]["bias"])
+        )
+        return knnconv_fused(
+            xyza, pa_1, nf_1, None, featsa, 3, (), tail, 0,
+            len(self.fp.mlp) + 2, interpret, interp=True, recip="clamp",
+            n_final=1,
+        )
 
     def multi(self, clouds, feats, pairs, *, train: bool = False,
               momentum=0.1, batched_decode: bool | None = None):

@@ -67,17 +67,23 @@ def _knnconv_ok(k_xyz, train: bool) -> bool:
     )
 
 
-def _fold_pointmlp(module: nn.Module, name: str, n: int):
-    """Folded ``(WT, b, ...)`` layers of a batch-norm PointMLP submodule
-    (eval running stats -> affine; setconv_tpu.fold_bn_layers)."""
+def fold_pointmlp_vars(params, stats, n: int):
+    """Folded ``(WT, b, ...)`` layers from a batch-norm PointMLP's param
+    and batch_stats dicts (eval running stats -> affine;
+    setconv_tpu.fold_bn_layers)."""
     from ..ops.pallas_kernels.setconv_tpu import fold_bn_layers
 
-    p = module.variables["params"][name]
-    st = module.variables["batch_stats"][name]
     return fold_bn_layers(
-        [p[f"Dense_{i}"] for i in range(n)],
-        [p[f"BatchNorm_{i}"] for i in range(n)],
-        [st[f"BatchNorm_{i}"] for i in range(n)],
+        [params[f"Dense_{i}"] for i in range(n)],
+        [params[f"BatchNorm_{i}"] for i in range(n)],
+        [stats[f"BatchNorm_{i}"] for i in range(n)],
+    )
+
+
+def _fold_pointmlp(module: nn.Module, name: str, n: int):
+    return fold_pointmlp_vars(
+        module.variables["params"][name],
+        module.variables["batch_stats"][name], n,
     )
 
 

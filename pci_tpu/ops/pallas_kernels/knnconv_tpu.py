@@ -52,7 +52,7 @@ _IMAX = 2**31 - 1  # python int: a jnp constant would be captured as a
 
 
 def _knnconv_kernel(*refs, k, n, c1, cs, n_mlp1, n_mlp2, idx_bits,
-                    interp, recip):
+                    interp, recip, n_final):
     """Grid: (B, S // TQ).
 
     Ref order: q [1,3,TQ], p [1,3,N], rows [1,C2,N],
@@ -151,15 +151,17 @@ def _knnconv_kernel(*refs, k, n, c1, cs, n_mlp1, n_mlp2, idx_bits,
     if cs:
         h = jnp.concatenate([h, skip_ref[0]], axis=0)
     for j in range(n_mlp2):
-        h = jnp.maximum(mm(w2[2 * j], w2[2 * j + 1], h), 0.0)
+        h = mm(w2[2 * j], w2[2 * j + 1], h)
+        if j < n_mlp2 - n_final:  # trailing n_final layers are linear
+            h = jnp.maximum(h, 0.0)
     out_ref[0] = h
 
 
-@functools.partial(jax.jit, static_argnums=(5, 8, 9, 10, 11, 12))
+@functools.partial(jax.jit, static_argnums=(5, 8, 9, 10, 11, 12, 13))
 def knnconv_fused(
     q_xyz, k_xyz, k_feats, q_feats, skip_feats, k,
     mlp1_flat, mlp2_flat, n_mlp1, n_mlp2, interpret=False,
-    interp=False, recip="clamp",
+    interp=False, recip="clamp", n_final=0,
 ):
     """Fused kNN-group + folded-BN MLP(s) + max-pool.
 
@@ -182,6 +184,10 @@ def knnconv_fused(
         FP variant whose MLP cannot fold).
       recip: inverse-distance flavor — "clamp" (Layers.py) or "eps"
         (Pointnet2Utils.py); interp mode only.
+      n_final: the trailing ``n_final`` layers of the MLP2 chain skip
+        the ReLU (plain linear) — lets a regression head (FlowNet3D's
+        classifier, Models/New_Models0.py:40-45, BN folded) ride the
+        same kernel instead of a separate launch over the dense cloud.
 
     Returns:
       ``[B, S, C_out]`` fp32.
@@ -251,7 +257,7 @@ def knnconv_fused(
         functools.partial(
             _knnconv_kernel, k=k, n=Np, c1=c1, cs=cs,
             n_mlp1=n_mlp1, n_mlp2=n_mlp2, idx_bits=idx_bits,
-            interp=interp, recip=recip,
+            interp=interp, recip=recip, n_final=n_final,
         ),
         grid=(B, Sp // TQ),
         in_specs=in_specs,

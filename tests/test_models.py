@@ -47,6 +47,46 @@ class TestFlowNet3D:
         # BN eps=1e-3 layers exist in every set_conv
         assert "set_conv1" in vars_["params"]
 
+    def test_decode_fused_matches_xla(self, rng, monkeypatch):
+        """The decode-mid megakernel + fp/classifier-fused tail
+        (interpreter mode) vs the pure-XLA eval decode."""
+        from pci_tpu.models import flownet3d as F
+
+        net = FlowNet3D()
+        x1, x2 = cloud(rng), cloud(rng)
+        vars_ = net.init(
+            jax.random.key(0), x1, x2, zeros(), zeros(), train=False
+        )
+        want = np.asarray(
+            net.apply(vars_, x1, x2, zeros(), zeros(), train=False)
+        )
+        monkeypatch.setattr(F, "_mid_ok", lambda train: not train)
+        got = np.asarray(
+            net.apply(vars_, x1, x2, zeros(), zeros(), train=False)
+        )
+        # kNN ranking in the kernel is mantissa-quantized (~2^-15): a
+        # boundary neighbor can swap, perturbing the max-pool slightly
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=3e-4)
+
+    def test_encode_fused_matches_xla(self, rng, monkeypatch):
+        """The two-stage encoder megakernel (interpreter mode) vs the
+        pure-XLA eval encoder, via the full forward."""
+        from pci_tpu.models import flownet3d as F
+
+        net = FlowNet3D()
+        x1, x2 = cloud(rng), cloud(rng)
+        vars_ = net.init(
+            jax.random.key(0), x1, x2, zeros(), zeros(), train=False
+        )
+        want = np.asarray(
+            net.apply(vars_, x1, x2, zeros(), zeros(), train=False)
+        )
+        monkeypatch.setattr(F, "_enc_ok", lambda train: not train)
+        got = np.asarray(
+            net.apply(vars_, x1, x2, zeros(), zeros(), train=False)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
     def test_grad_flows(self, rng):
         net = FlowNet3D()
         x1, x2 = cloud(rng), cloud(rng)

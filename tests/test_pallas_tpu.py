@@ -635,6 +635,66 @@ class TestFusedKnnConvTpu:
 
 
 @requires_tpu
+class TestFlowMidMegakernelTpu:
+    def test_decode_mid_matches_layer_kernels(self, rng, monkeypatch):
+        """FlowNet3D eval with the decode-mid megakernel + fused
+        fp/classifier tail (the default route) vs the per-layer fused
+        kernels, same params, one process."""
+        from pci_tpu.models import FlowNet3D
+        from pci_tpu.models import flownet3d as fmod
+
+        model = FlowNet3D()
+        x1 = jnp.asarray(
+            rng.standard_normal((1, 4096, 3)).astype(np.float32) * 3
+        )
+        x2 = x1 + 0.05 * jnp.asarray(
+            rng.standard_normal((1, 4096, 3)).astype(np.float32)
+        )
+        z = jnp.zeros_like(x1)
+        vars_ = jax.jit(
+            lambda: model.init(jax.random.key(0), x1, x2, z, z, train=False)
+        )()
+        got = jax.jit(
+            lambda v: model.apply(v, x1, x2, z, z, train=False)
+        )(vars_)
+        monkeypatch.setattr(fmod, "_mid_ok", lambda train: False)
+        ref = jax.jit(
+            lambda v: model.apply(v, x1, x2, z, z, train=False)
+        )(vars_)
+        err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+        scale = np.abs(np.asarray(ref)).max()
+        assert err <= 0.01 * max(scale, 1.0), (err, scale)
+
+    def test_encode_megakernel_matches_layer_kernels(self, rng, monkeypatch):
+        """FlowNet3D eval with the two-stage encoder megakernel (default)
+        vs per-layer setconv kernels, same params, one process."""
+        from pci_tpu.models import FlowNet3D
+        from pci_tpu.models import flownet3d as fmod
+
+        model = FlowNet3D()
+        x1 = jnp.asarray(
+            rng.standard_normal((1, 4096, 3)).astype(np.float32) * 3
+        )
+        x2 = x1 + 0.05 * jnp.asarray(
+            rng.standard_normal((1, 4096, 3)).astype(np.float32)
+        )
+        z = jnp.zeros_like(x1)
+        vars_ = jax.jit(
+            lambda: model.init(jax.random.key(0), x1, x2, z, z, train=False)
+        )()
+        got = jax.jit(
+            lambda v: model.apply(v, x1, x2, z, z, train=False)
+        )(vars_)
+        monkeypatch.setattr(fmod, "_enc_ok", lambda train: False)
+        ref = jax.jit(
+            lambda v: model.apply(v, x1, x2, z, z, train=False)
+        )(vars_)
+        err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+        scale = np.abs(np.asarray(ref)).max()
+        assert err <= 0.01 * max(scale, 1.0), (err, scale)
+
+
+@requires_tpu
 class TestFusedFusionTailTpu:
     def test_pointsfusion_routed_matches_xla(self, rng, monkeypatch):
         """PointsFusion eval with the fused attention head vs the XLA
