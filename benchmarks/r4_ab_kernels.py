@@ -118,18 +118,21 @@ def section_pointinet(reps, npoints=16384):
         {"params": jax.random.key(0), "sample": jax.random.key(1)},
         p1, p2, zeros, zeros, t, train=False))()
 
-    def run_config(label, tail_on, mid=True, enc=True):
+    def run_config(label, tail_on, mid=True, enc=True, oneshot=True):
         import pci_tpu.nn.fusion as F
         from pci_tpu.models import flownet3d as fmod
 
         orig = F._fusion_tail_ok
         orig_m, orig_e = fmod._mid_ok, fmod._enc_ok
+        orig_o = F._fusion_oneshot_ok
         if not tail_on:
             F._fusion_tail_ok = lambda train: False
         if not mid:
             fmod._mid_ok = lambda train: False
         if not enc:
             fmod._enc_ok = lambda train: False
+        if not oneshot:
+            F._fusion_oneshot_ok = lambda train: False
         try:
             return _slope(
                 lambda v, a, b, tt, c: model.apply(
@@ -140,13 +143,16 @@ def section_pointinet(reps, npoints=16384):
         finally:
             F._fusion_tail_ok = orig
             fmod._mid_ok, fmod._enc_ok = orig_m, orig_e
+            F._fusion_oneshot_ok = orig_o
 
     base = run_config("all megakernels ON", True)
+    no_o = run_config("oneshot OFF       ", True, oneshot=False)
     no_e = run_config("enc OFF           ", True, enc=False)
     no_m = run_config("mid OFF           ", True, mid=False)
-    off = run_config("fusion_tail OFF   ", False)
-    print(f"  -> fusion_tail saves {off - base:+.3f} ms, decode-mid "
-          f"saves {no_m - base:+.3f} ms, enc saves {no_e - base:+.3f} ms",
+    off = run_config("fusion_tail OFF   ", False, oneshot=False)
+    print(f"  -> oneshot fusion saves {no_o - base:+.3f} ms, fusion_tail "
+          f"saves {off - no_o:+.3f} ms, decode-mid saves "
+          f"{no_m - base:+.3f} ms, enc saves {no_e - base:+.3f} ms",
           flush=True)
 
 

@@ -244,10 +244,15 @@ class FlowNet3D(nn.Module):
         Returns:
           flow ``[B, N, 3]``; ``(flow12, flow21)`` when bidirectional.
         """
+        if bidirectional:
+            # = multi over the shared pair: each cloud encoded once, and
+            # PCI_TPU_BATCH_DECODE stacks both directions' decodes into
+            # one wide megakernel launch
+            f12, f21 = self.multi(
+                [xyz1, xyz2], [feats1, feats2], [(0, 1), (1, 0)],
+                train=train, momentum=momentum,
+            )
+            return f12, f21
         e1 = self.encode(xyz1, feats1, train=train, momentum=momentum)
         e2 = self.encode(xyz2, feats2, train=train, momentum=momentum)
-        flow12 = self.decode(e1, e2, train=train, momentum=momentum)
-        if not bidirectional:
-            return flow12
-        flow21 = self.decode(e2, e1, train=train, momentum=momentum)
-        return flow12, flow21
+        return self.decode(e1, e2, train=train, momentum=momentum)

@@ -211,6 +211,18 @@ def _fusion_tail_ok(train: bool) -> bool:
     return jax.default_backend() == "tpu" and not train
 
 
+def _fusion_oneshot_ok(train: bool) -> bool:
+    """Route kNN + attention head to the ONE-SHOT kernel
+    (fusion_knn_tpu.knn_fusion_attention: online softmax inside the
+    extraction loop — no [B,N,k,3] residual block, no tail launch).
+    Eval-only; PCI_TPU_FUSION_ONESHOT=0 restores the two-kernel route
+    for A/B."""
+    return (
+        _fusion_tail_ok(train)
+        and os.environ.get("PCI_TPU_FUSION_ONESHOT", "1") == "1"
+    )
+
+
 def _apply_fusion_tail(module, mlp, combined, resi, extra, train,
                        momentum):
     """Shared routed/XLA attention head for both fusion variants.
@@ -346,10 +358,28 @@ class PointsFusion(nn.Module):
                 jnp.stack([k1, k2], axis=1), k,
             )
         elif _fused_kernel_ok(points1, k):
-            # one fused kernel: shared distance tiles, k1/k2-adaptive
-            # extraction, pre-merged residual block (see fusion_knn_tpu)
-            from ..ops.pallas_kernels import knn_fusion_adaptive
+            from ..ops.pallas_kernels import (
+                knn_fusion_adaptive,
+                knn_fusion_attention,
+            )
 
+            if _fusion_oneshot_ok(train):
+                # kNN + attention head in ONE kernel (online softmax)
+                from .layers import _fold_pointmlp
+
+                dummy = jnp.zeros((1, 4), policy.compute_dtype())
+                _ = PointMLP(self.mlp, norm="batch")(dummy, train=False)
+                layers = _fold_pointmlp(self, "PointMLP_0", len(self.mlp))
+                seg_ends = jnp.stack(
+                    [N1, jnp.full_like(N1, N)], axis=1)
+                budgets = jnp.stack([k1, k2], axis=1)
+                return knn_fusion_attention(
+                    combined, seg_ends, budgets, layers, k, _ALIGN,
+                    _FUSION_WINNERS,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            # two kernels: shared distance tiles, k1/k2-adaptive
+            # extraction, pre-merged residual block (see fusion_knn_tpu)
             resi = knn_fusion_adaptive(combined, N1, k1, k, _ALIGN,
                                        winners=_FUSION_WINNERS)
         else:

@@ -63,7 +63,7 @@ _IMAX = jnp.iinfo(jnp.int32).max
 
 
 def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
-                       emit_idx, winners=1):
+                       emit_idx, winners=1, n_tail=0):
     """Grid: (B, S // TQ).
 
     q_ref [1, 3, TQ] query tile; p_ref [1, 3, N] whole combined cloud.
@@ -74,6 +74,16 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
     cand_k packed keys, [cand_i]? global indices, cand_{x,y,z} argmin
     coords — all [winners * N // l, TQ].
 
+    ``n_tail`` > 0 switches to ONE-SHOT attention-fusion mode: refs start
+    with ``2 * n_tail`` folded score-MLP (WT, b) pairs, the only output
+    is the fused rows [1, 3, TQ], and each extraction round feeds its
+    residual straight into an ONLINE softmax (flash recipe: running max,
+    rescaled weight sum and weighted-residual accumulators) — the
+    [B, N, k, 3] residual block never exists and the separate tail
+    kernel (fusion_tail_tpu) is not launched.  Same math as
+    nn.fusion._apply_fusion_tail: scores = max_c MLP([resi | safe-norm]),
+    fused = query + sum_k softmax(scores) * resi.
+
     ``winners``: bucket candidates kept per min phase (knn_cells_tpu
     recipe).  The extraction loop's per-round cost scales with the
     candidate row count ``winners * N / l``, so (l=2L, W=2) halves
@@ -83,8 +93,13 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
     [j * W * nb_tile + w * nb_tile + b_local] so the bucket id of any
     candidate row is recoverable for segment masking.
     """
-    n_out = 1 + int(emit_d) + int(emit_idx)
-    outs, rest = refs[:n_out], refs[n_out:]
+    if n_tail:
+        assert not (emit_d or emit_idx)
+        wtail = refs[: 2 * n_tail]
+        outs, rest = refs[2 * n_tail: 2 * n_tail + 1], refs[2 * n_tail + 1:]
+    else:
+        n_out = 1 + int(emit_d) + int(emit_idx)
+        outs, rest = refs[:n_out], refs[n_out:]
     if emit_idx:
         cand_k, cand_i, cand_x, cand_y, cand_z = rest
     else:
@@ -170,14 +185,14 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
         + pl.program_id(1) * TQ
     )
 
-    def extract(jj, carry):
-        keys, od_a, oi_a, rx_a, ry_a, rz_a = carry
+    def _winner_resi(keys):
+        """(advanced keys, valid, sel, rx, ry, rz): one packed-key min
+        round.  A segment with fewer bucket candidates than its budget
+        exhausts mid-phase: every key is the sentinel, sel matches ALL
+        rows and the coordinate sums would be garbage — emit a zero
+        residual (a self-neighbor, the benign analog of the reference's
+        duplicated neighbors at tiny pools)."""
         m = jnp.min(keys, axis=0)  # [TQ] winner (unique: row in LSBs)
-        # a segment with fewer bucket candidates than its budget exhausts
-        # mid-phase: every key is the sentinel, sel matches ALL rows and
-        # the coordinate sums would be garbage — emit a zero residual at
-        # the query's own index instead (a self-neighbor, the benign
-        # analog of the reference's duplicated neighbors at tiny pools)
         valid = m != _IMAX  # [TQ]
         sel = keys == m[None, :]
         x = jnp.sum(jnp.where(sel, cx, 0.0), axis=0)
@@ -186,6 +201,11 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
         rx = jnp.where(valid, x - qx, 0.0)
         ry = jnp.where(valid, y - qy, 0.0)
         rz = jnp.where(valid, z - qz, 0.0)
+        return jnp.where(sel, _IMAX, keys), valid, sel, rx, ry, rz
+
+    def extract(jj, carry):
+        keys, od_a, oi_a, rx_a, ry_a, rz_a = carry
+        keys, valid, sel, rx, ry, rz = _winner_resi(keys)
         upd = kiota == jj  # [TQ, k] slot-jj mask
         if emit_d:
             od_a = jnp.where(upd, (rx * rx + ry * ry + rz * rz)[:, None], od_a)
@@ -196,13 +216,42 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
         rx_a = jnp.where(upd, rx[:, None], rx_a)
         ry_a = jnp.where(upd, ry[:, None], ry_a)
         rz_a = jnp.where(upd, rz[:, None], rz_a)
-        keys = jnp.where(sel, _IMAX, keys)
         return keys, od_a, oi_a, rx_a, ry_a, rz_a
+
+    def extract_fused(jj, carry):
+        """One-shot mode: score this round's residual with the folded
+        MLP and fold it into the ONLINE softmax accumulators (flash
+        recipe: running max sm, rescaled weight sum sw, weighted
+        residual accumulators ax/ay/az)."""
+        keys, sm, sw, ax, ay, az = carry
+        keys, valid, sel, rx, ry, rz = _winner_resi(keys)
+        nrm = jnp.sqrt(rx * rx + ry * ry + rz * rz + 1e-12)  # _safe_norm
+        h = jnp.concatenate(
+            [rx[None, :], ry[None, :], rz[None, :], nrm[None, :]], axis=0
+        )  # [4, TQ]
+        for t_ in range(n_tail):
+            h = lax.dot_general(
+                wtail[2 * t_][...], h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + wtail[2 * t_ + 1][...]
+            h = jnp.maximum(h, 0.0)
+        s = jnp.max(h, axis=0)  # [TQ] slot score (channel max-pool)
+        m2 = jnp.maximum(sm, s)
+        f = jnp.exp(sm - m2)
+        w = jnp.exp(s - m2)
+        return (keys, m2, sw * f + w, ax * f + w * rx, ay * f + w * ry,
+                az * f + w * rz)
 
     # F extraction phases: segment j gets budget_j rounds on its own row
     # range, writing output slots [kcum_j, kcum_{j+1}) — dynamic trip
     # counts, exactly k rounds TOTAL across all phases, block pre-merged
-    carry = (zf, zi, zf, zf, zf)
+    if n_tail:
+        zq = jnp.zeros((TQ,), jnp.float32)
+        carry = (jnp.full((TQ,), -jnp.inf, jnp.float32), zq, zq, zq, zq)
+        body = extract_fused
+    else:
+        carry = (zf, zi, zf, zf, zf)
+        body = extract
     row_lo = jnp.int32(0)
     kcum = jnp.int32(0)
     for j in range(nseg):
@@ -212,10 +261,18 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
             (bucket_id >= row_lo) & (bucket_id < row_hi), ck, _IMAX
         )
         _, *carry = lax.fori_loop(
-            kcum, kcum + budget, extract, (keys_j, *carry)
+            kcum, kcum + budget, body, (keys_j, *carry)
         )
         row_lo = row_hi
         kcum = kcum + budget
+
+    if n_tail:
+        _, sw, ax, ay, az = carry
+        out = outs[0]
+        out[0, 0] = qx + ax / sw
+        out[0, 1] = qy + ay / sw
+        out[0, 2] = qz + az / sw
+        return
     od_a, oi_a, rx_a, ry_a, rz_a = carry
 
     it = iter(outs)
@@ -230,7 +287,7 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
 
 
 def _fusion_impl(combined, seg_ends, budgets, k, bucket, emit_d, emit_idx,
-                 winners=1, interpret=False):
+                 winners=1, interpret=False, tail_layers=None):
     combined = lax.stop_gradient(combined)
     B, N, C = combined.shape
     F = seg_ends.shape[1]
@@ -257,15 +314,35 @@ def _fusion_impl(combined, seg_ends, budgets, k, bucket, emit_d, emit_idx,
         [seg_ends.astype(jnp.int32), budgets.astype(jnp.int32)], axis=1
     ).reshape(-1)  # [B * 2F]: F ends then F budgets per batch
 
+    n_tail = len(tail_layers) // 2 if tail_layers else 0
+    ins = [scal, q_t, p_t]
+    in_specs = [
+        pl.BlockSpec((1, 3, TQ), lambda b, i, s: (b, 0, i)),
+        pl.BlockSpec((1, 3, Np), lambda b, i, s: (b, 0, 0)),
+    ]
+    if n_tail:
+        assert not (emit_d or emit_idx)
+        for j, w in enumerate(tail_layers):
+            w = (w if j % 2 == 0 else w.reshape(-1, 1)).astype(jnp.float32)
+            ins.append(w)
+            in_specs.append(pl.BlockSpec(w.shape, lambda b, i, s: (0, 0)))
+
     out_specs, out_shapes = [], []
-    if emit_d:
-        out_specs.append(pl.BlockSpec((1, TQ, k), lambda b, i, s: (b, i, 0)))
-        out_shapes.append(jax.ShapeDtypeStruct((B, Sp, k), jnp.float32))
-    if emit_idx:
-        out_specs.append(pl.BlockSpec((1, TQ, k), lambda b, i, s: (b, i, 0)))
-        out_shapes.append(jax.ShapeDtypeStruct((B, Sp, k), jnp.int32))
-    out_specs.append(pl.BlockSpec((1, 3, TQ, k), lambda b, i, s: (b, 0, i, 0)))
-    out_shapes.append(jax.ShapeDtypeStruct((B, 3, Sp, k), jnp.float32))
+    if n_tail:
+        out_specs.append(pl.BlockSpec((1, 3, TQ), lambda b, i, s: (b, 0, i)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, 3, Sp), jnp.float32))
+    else:
+        if emit_d:
+            out_specs.append(
+                pl.BlockSpec((1, TQ, k), lambda b, i, s: (b, i, 0)))
+            out_shapes.append(jax.ShapeDtypeStruct((B, Sp, k), jnp.float32))
+        if emit_idx:
+            out_specs.append(
+                pl.BlockSpec((1, TQ, k), lambda b, i, s: (b, i, 0)))
+            out_shapes.append(jax.ShapeDtypeStruct((B, Sp, k), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((1, 3, TQ, k), lambda b, i, s: (b, 0, i, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, 3, Sp, k), jnp.float32))
 
     nrows = winners * Np // l
     scratch = [pltpu.VMEM((nrows, TQ), jnp.int32)]
@@ -275,15 +352,12 @@ def _fusion_impl(combined, seg_ends, budgets, k, bucket, emit_d, emit_idx,
 
     kernel = functools.partial(
         _fusion_knn_kernel, k=k, n=Np, l=l, nseg=F, emit_d=emit_d,
-        emit_idx=emit_idx, winners=winners,
+        emit_idx=emit_idx, winners=winners, n_tail=n_tail,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Sp // TQ),
-        in_specs=[
-            pl.BlockSpec((1, 3, TQ), lambda b, i, s: (b, 0, i)),
-            pl.BlockSpec((1, 3, Np), lambda b, i, s: (b, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
@@ -295,8 +369,10 @@ def _fusion_impl(combined, seg_ends, budgets, k, bucket, emit_d, emit_idx,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(scal, q_t, p_t)
+    )(*ins)
 
+    if n_tail:
+        return jnp.swapaxes(outs[0][:, :, :N], 1, 2)  # [B, N, 3]
     result = []
     it = iter(outs)
     if emit_d:
@@ -413,3 +489,35 @@ def knn_fusion_adaptive(combined: jax.Array, split: jax.Array,
     budgets = jnp.stack([k1, k - k1], axis=1)
     return knn_fusion_multi(combined, seg_ends, budgets, k, bucket,
                             emit_d, emit_idx, winners, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def knn_fusion_attention(combined, seg_ends, budgets, tail_layers, k: int,
+                         bucket: int = 16, winners: int = 1,
+                         interpret=False):
+    """ONE-SHOT fusion head: budgeted multi-segment self-kNN AND the
+    attention tail (score MLP + channel max + softmax over k + weighted
+    residual reduce, reference Utils/Layers.py:264-283) in a single
+    kernel — each extraction round's residual feeds an online softmax,
+    so neither the [B, N, k, 3] residual block nor the separate tail
+    launch exists.  Eval-only (no VJP; training keeps the resi-emitting
+    kernel + XLA tail, which define gradients).
+
+    Args:
+      combined: ``[B, N, 3]`` fp32 combined cloud (queries == keys).
+      seg_ends / budgets: ``[B, F]`` prefix-segment ends (multiples of
+        ``bucket``; last == N) and per-segment neighbor budgets
+        (sum == k).
+      tail_layers: flat folded ``(WT, b, ...)`` score-MLP tuple
+        (fold_bn_layers); layer 0 takes the 4 channels
+        ``[resi | safe-norm]``.
+      k: static total neighbor count.
+
+    Returns:
+      fused ``[B, N, 3]`` fp32 (= combined + attention-weighted
+      residual sum).
+    """
+    return _fusion_impl(
+        combined, seg_ends, budgets, k, bucket, False, False, winners,
+        interpret, tuple(tail_layers),
+    )

@@ -516,6 +516,94 @@ class TestFusedFusionTail:
             np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
         )
 
+    def test_oneshot_kernel_parity(self, rng):
+        """knn_fusion_attention (kNN + online-softmax tail in ONE kernel,
+        interpret) vs the two-step route: knn_fusion_adaptive residuals +
+        the XLA attention head.  Same extraction => identical neighbors;
+        only the softmax accumulation order differs."""
+        from pci_tpu.nn.fusion import _safe_norm
+        from pci_tpu.nn.mlp import PointMLP
+        from pci_tpu.ops.pallas_kernels import (
+            knn_fusion_adaptive,
+            knn_fusion_attention,
+        )
+        from pci_tpu.ops.pallas_kernels.setconv_tpu import fold_bn_layers
+
+        B, N, k, bucket = 2, 96, 8, 16
+        combined = cloud(rng, B, N)
+        split = jnp.asarray([48, 64], jnp.int32)
+        k1 = jnp.asarray([5, 3], jnp.int32)
+
+        resi = knn_fusion_adaptive(
+            combined, split, k1, k, bucket, interpret=True
+        )
+        mlp = PointMLP((16, 24), norm="batch")
+        feats = jnp.concatenate([resi, _safe_norm(resi)], axis=-1)
+        v = mlp.init(jax.random.key(0), feats, train=False)
+        h = mlp.apply(v, feats, train=False)
+        scores = jnp.max(h, axis=-1)
+        w = jax.nn.softmax(scores, axis=-1)[..., None]
+        ref = combined + jnp.sum(w * resi, axis=2)
+
+        p, st = v["params"], v["batch_stats"]
+        layers = fold_bn_layers(
+            [p[f"Dense_{i}"] for i in range(2)],
+            [p[f"BatchNorm_{i}"] for i in range(2)],
+            [st[f"BatchNorm_{i}"] for i in range(2)],
+        )
+        seg_ends = jnp.stack([split, jnp.full_like(split, N)], axis=1)
+        budgets = jnp.stack([k1, k - k1], axis=1)
+        got = knn_fusion_attention(
+            combined, seg_ends, budgets, layers, k, bucket, 1, True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
+        )
+
+    def test_pointsfusion_oneshot_route(self, monkeypatch):
+        """PointsFusion module wiring through the one-shot kernel
+        (interpret on CPU) vs the two-kernel route (resi kernel + XLA
+        tail) — covers the param folding + seg_ends/budget plumbing.
+        Both sides use the kernel kNN: comparing against the pure-XLA
+        exact kNN would need N >= 4096 (the _fused_kernel_ok regime —
+        at N=256 a 5-point budget consumes ALL 5 bucket winners of its
+        segment and recall collapses by construction)."""
+        import functools
+
+        import pci_tpu.nn as pnn_mod
+        import pci_tpu.ops.pallas_kernels as pk
+        from pci_tpu.nn import fusion as fusion_mod
+
+        rng = np.random.default_rng(5)
+        fusion = pnn_mod.PointsFusion((16, 24), sampling="random")
+        p1 = cloud(rng, 1, 256)
+        p2 = p1 + 0.03 * jnp.asarray(
+            rng.standard_normal((1, 256, 3)).astype(np.float32)
+        )
+        t = jnp.asarray([0.4], jnp.float32)
+        rngs = {"sample": jax.random.key(3)}
+        vars_ = fusion.init(
+            {"params": jax.random.key(0), **rngs}, p1, p2, 8, t, train=False
+        )
+        monkeypatch.setattr(
+            fusion_mod, "_fused_kernel_ok", lambda pts, k: True
+        )
+        monkeypatch.setattr(
+            pk, "knn_fusion_adaptive",
+            functools.partial(pk.knn_fusion_adaptive, interpret=True),
+        )
+        monkeypatch.setattr(
+            fusion_mod, "_fusion_oneshot_ok", lambda train: False
+        )
+        ref = fusion.apply(vars_, p1, p2, 8, t, train=False, rngs=rngs)
+        monkeypatch.setattr(
+            fusion_mod, "_fusion_oneshot_ok", lambda train: not train
+        )
+        got = fusion.apply(vars_, p1, p2, 8, t, train=False, rngs=rngs)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
 
 class TestFusedKnnConv:
     def test_flow_embedding_parity(self):

@@ -725,6 +725,34 @@ class TestFusedFusionTailTpu:
             np.asarray(got), np.asarray(ref), atol=5e-3, rtol=5e-3
         )
 
+    def test_pointsfusion_oneshot_matches_two_kernel(self, rng, monkeypatch):
+        """PointsFusion eval: the one-shot kNN+tail kernel (default) vs
+        the two-kernel route (resi kernel + fused tail), same rngs."""
+        from pci_tpu import nn as pnn
+        from pci_tpu.nn import fusion as fusion_mod
+
+        fusion = pnn.PointsFusion((64, 64, 128), sampling="random")
+        p1 = jnp.asarray(rng.standard_normal((1, 4096, 3)).astype(np.float32))
+        p2 = p1 + 0.05 * jnp.asarray(
+            rng.standard_normal((1, 4096, 3)).astype(np.float32)
+        )
+        t = jnp.asarray([0.4], jnp.float32)
+        rngs = {"sample": jax.random.key(7)}
+        vars_ = fusion.init(
+            {"params": jax.random.key(0), **rngs}, p1, p2, 32, t,
+            train=False,
+        )
+        got = jax.jit(
+            lambda v: fusion.apply(v, p1, p2, 32, t, train=False, rngs=rngs)
+        )(vars_)
+        monkeypatch.setattr(fusion_mod, "_fusion_oneshot_ok", lambda *_: False)
+        ref = jax.jit(
+            lambda v: fusion.apply(v, p1, p2, 32, t, train=False, rngs=rngs)
+        )(vars_)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )
+
 
 @requires_tpu
 class TestBallPallasTpu:
