@@ -87,9 +87,14 @@ def _backend_probe(timeout_s):
     return ok, probes
 
 
+_WATCHDOG = None
+
+
 def _arm_watchdog(seconds):
     """If the benchmark itself wedges mid-run (the r3 failure mode), emit
     the diagnostic JSON line and hard-exit instead of hanging the driver."""
+    global _WATCHDOG
+
     def fire():
         _emit_error("watchdog", f"bench exceeded {seconds}s wall clock")
         os._exit(3)
@@ -97,7 +102,45 @@ def _arm_watchdog(seconds):
     t = threading.Timer(seconds, fire)
     t.daemon = True
     t.start()
+    _WATCHDOG = t
     return t
+
+
+# Kill switches for every kernel route first exercised on-chip this round
+# (they have interpreter parity tests but no Mosaic-lowering run yet: the
+# chip was wedged).  If the default bench CRASHES (e.g. a lowering
+# rejection), one conservative retry with these off still produces a real
+# fps number for the driver instead of an error line.
+_CONSERVATIVE_ENV = {
+    "PCI_TPU_MID_KERNEL": "0",
+    "PCI_TPU_ENC_KERNEL": "0",
+    "PCI_TPU_FUSION_ONESHOT": "0",
+}
+
+
+def _retry_conservative(reason):
+    """Re-run bench.py in a subprocess with the r4 kernel routes off;
+    forward its JSON line annotated with the retry reason."""
+    env = dict(
+        os.environ, PCI_TPU_BENCH_CONSERVATIVE="1",
+        PCI_TPU_BENCH_SKIP_PROBE="1", **_CONSERVATIVE_ENV,
+    )
+    r = subprocess.run(
+        [sys.executable, "-u", os.path.abspath(__file__)],
+        capture_output=True, text=True, env=env,
+        timeout=float(os.environ.get("PCI_TPU_BENCH_WATCHDOG", "1800")) + 60,
+    )
+    line = next(
+        (ln for ln in reversed(r.stdout.strip().splitlines())
+         if ln.startswith("{")), None,
+    )
+    if line is None:
+        return False
+    rec = json.loads(line)
+    rec["config"] = "conservative (r4 kernel routes off)"
+    rec["retry_reason"] = reason[:200]
+    print(json.dumps(rec), flush=True)
+    sys.exit(0 if "error" not in rec else 1)
 
 
 def _load_cloud(path, npoints, width, seed):
@@ -170,6 +213,9 @@ def main():
                         f"rc={probes.get('rc')} hung_after={probes.get('hung_after')}",
                         probes)
             sys.exit(1)
+
+    if os.environ.get("PCI_TPU_BENCH_SIMULATE_CRASH") == "1":
+        raise RuntimeError("simulated bench crash (test hook)")
 
     watchdog = _arm_watchdog(
         float(os.environ.get("PCI_TPU_BENCH_WATCHDOG", "1800")))
@@ -272,5 +318,14 @@ if __name__ == "__main__":
     except SystemExit:
         raise
     except BaseException as e:  # noqa: BLE001 — driver wants one JSON line
+        if _WATCHDOG is not None:
+            _WATCHDOG.cancel()  # the retry below is bounded by its own
+        if os.environ.get("PCI_TPU_BENCH_CONSERVATIVE") != "1":
+            try:
+                _retry_conservative(f"{type(e).__name__}: {e}")
+            except SystemExit:
+                raise
+            except BaseException:  # noqa: BLE001
+                pass
         _emit_error(type(e).__name__, str(e))
         sys.exit(1)

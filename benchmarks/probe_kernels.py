@@ -135,6 +135,50 @@ def main(interpret=False):
             jnp.asarray([[5, 5, 6]], jnp.int32), 16,
             chunk=512, m_chunks=4, tile=128))
 
+    # r4 megakernels — first Mosaic lowering happens HERE, bounded, so a
+    # rejection/hang localizes before any full-model stage runs them
+    from pci_tpu.ops.pallas_kernels.flowenc_tpu import flowenc_fused
+    from pci_tpu.ops.pallas_kernels.flowmid_tpu import flowmid_fused
+    from pci_tpu.ops.pallas_kernels import knn_fusion_attention
+
+    c1 = jnp.asarray((rng.normal(size=(1, 512, 3)) * 3).astype(f32))
+    c2s = jnp.asarray((rng.normal(size=(1, 128, 3)) * 3).astype(f32))
+    fz = jnp.zeros((1, 2048, 3), f32)
+    We1 = jnp.asarray(rng.normal(size=(8, 6)).astype(f32))
+    We2 = jnp.asarray(rng.normal(size=(12, 11)).astype(f32))
+    probe("flowenc_fused (enc megakernel)", lambda: flowenc_fused(
+        comb3, fz, c1, c2s,
+        (We1, jnp.zeros((8,), f32), We2, jnp.zeros((12,), f32)),
+        1.0, 16, 2.0, 16, 1, 1, ip)[1])
+
+    def _mid():
+        fa1 = jnp.asarray(rng.normal(size=(1, 512, 8)).astype(f32))
+        fa2 = jnp.asarray(rng.normal(size=(1, 128, 12)).astype(f32))
+        x3 = jnp.asarray((rng.normal(size=(1, 64, 3)) * 3).astype(f32))
+        x4 = jnp.asarray((rng.normal(size=(1, 16, 3)) * 3).astype(f32))
+        mk = lambda co, ci: (  # noqa: E731
+            jnp.asarray(rng.normal(size=(co, ci)).astype(f32)),
+            jnp.zeros((co,), f32))
+        flat = sum([
+            mk(12, 27), mk(12, 12), mk(12, 12),    # fe (3+12+12 -> 12)
+            mk(16, 15), mk(16, 16), mk(16, 16),    # sc3 (3+12)
+            mk(24, 19), mk(24, 24), mk(24, 24),    # sc4 (3+16)
+            mk(16, 43), mk(16, 16),                # su1_2 ((3+24)+16)
+            mk(16, 19), mk(16, 16), mk(16, 16),    # su2_1 (3+16)
+            mk(16, 40),                            # su2_2 (16 + fa2 12 + emb 12)
+            mk(16, 19), mk(16, 16), mk(16, 16),    # su3_1 (3+16)
+            mk(16, 24),                            # su3_2 (16+8)
+        ], ())
+        return flowmid_fused(
+            c1, fa1, c2s, fa2, c2s + 0.1, fa2 + 0.1, x3, x4, flat,
+            8, 2.0, 8, 4.0, 8, 8, ip)
+    probe("flowmid_fused (decode megakernel)", _mid)
+
+    probe("knn_fusion_attention (one-shot)", lambda: knn_fusion_attention(
+        comb3, jnp.asarray([[1024, 2048]], jnp.int32),
+        jnp.asarray([[8, 8]], jnp.int32),
+        (Wa, ba, Wb, bb), 16, 32, 1, ip))
+
     from pci_tpu.ops.pallas_kernels.attention_tpu import (
         fused_vector_attention,
     )

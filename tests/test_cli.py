@@ -202,6 +202,21 @@ class TestBenchDegradation:
         assert lines, f"no JSON line in stdout: {r.stdout!r} {r.stderr[-500:]!r}"
         return r.returncode, json.loads(lines[-1])
 
+    def test_crash_triggers_conservative_retry(self):
+        """A crash in the default config must spawn ONE conservative
+        retry (r4 kernel routes off) and forward its JSON annotated with
+        the retry reason.  The hook crashes both attempts, so the final
+        line carries the child's error plus the parent's annotations —
+        the retry plumbing is what's under test."""
+        rc, rec = self._run_bench({
+            "PCI_TPU_BENCH_SKIP_PROBE": "1",
+            "PCI_TPU_BENCH_SIMULATE_CRASH": "1",
+        })
+        assert rc == 1
+        assert rec.get("config", "").startswith("conservative")
+        assert "RuntimeError" in rec.get("retry_reason", "")
+        assert "error" in rec
+
     def test_backend_probe_failure_is_one_json_line(self):
         # Poison the probe subprocess: an unimportable sitecustomize dir on
         # PYTHONPATH makes `import jax` die instantly in the child, which
