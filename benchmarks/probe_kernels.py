@@ -147,15 +147,13 @@ def main(interpret=False):
     We1 = jnp.asarray(rng.normal(size=(8, 6)).astype(f32))
     We2 = jnp.asarray(rng.normal(size=(12, 11)).astype(f32))
     probe("flowenc_fused (enc megakernel)", lambda: flowenc_fused(
-        comb3, fz, c1, c2s,
+        comb3, fz, c1,
         (We1, jnp.zeros((8,), f32), We2, jnp.zeros((12,), f32)),
-        1.0, 16, 2.0, 16, 1, 1, ip)[1])
+        128, 1.0, 16, 2.0, 16, 1, 1, ip)[1])
 
     def _mid():
         fa1 = jnp.asarray(rng.normal(size=(1, 512, 8)).astype(f32))
         fa2 = jnp.asarray(rng.normal(size=(1, 128, 12)).astype(f32))
-        x3 = jnp.asarray((rng.normal(size=(1, 64, 3)) * 3).astype(f32))
-        x4 = jnp.asarray((rng.normal(size=(1, 16, 3)) * 3).astype(f32))
         mk = lambda co, ci: (  # noqa: E731
             jnp.asarray(rng.normal(size=(co, ci)).astype(f32)),
             jnp.zeros((co,), f32))
@@ -170,8 +168,8 @@ def main(interpret=False):
             mk(16, 24),                            # su3_2 (16+8)
         ], ())
         return flowmid_fused(
-            c1, fa1, c2s, fa2, c2s + 0.1, fa2 + 0.1, x3, x4, flat,
-            8, 2.0, 8, 4.0, 8, 8, ip)
+            c1, fa1, c2s, fa2, c2s + 0.1, fa2 + 0.1, flat,
+            32, 8, 8, 2.0, 8, 4.0, 8, 8, ip)
     probe("flowmid_fused (decode megakernel)", _mid)
 
     probe("knn_fusion_attention (one-shot)", lambda: knn_fusion_attention(

@@ -99,7 +99,6 @@ class FlowNet3D(nn.Module):
         sc1, sc2 = self.set_conv1, self.set_conv2
         interpret = jax.default_backend() != "tpu"  # interpreter for tests
         p_1 = ops.fps_points(xyz, sc1.npoint, 0, exact=sc1.fps_exact)
-        p_2 = ops.fps_points(p_1, sc2.npoint, 0, exact=sc2.fps_exact)
         p = self.variables["params"]
         st = self.variables["batch_stats"]
         flat = (
@@ -112,8 +111,8 @@ class FlowNet3D(nn.Module):
                 st["set_conv2"]["PointMLP_0"], len(sc2.mlp),
             )
         )
-        f_1, f_2 = flowenc_fused(
-            xyz, feats, p_1, p_2, flat,
+        f_1, f_2, p_2 = flowenc_fused(
+            xyz, feats, p_1, flat, sc2.npoint,
             sc1.radius, sc1.nsample, sc2.radius, sc2.nsample,
             len(sc1.mlp), len(sc2.mlp), interpret,
         )
@@ -151,12 +150,6 @@ class FlowNet3D(nn.Module):
         from ..ops.pallas_kernels.setconv_tpu import fold_bn_layers
 
         interpret = jax.default_backend() != "tpu"  # interpreter for tests
-        xyz3 = ops.fps_points(
-            pa_2, self.set_conv3.npoint, 0, exact=self.set_conv3.fps_exact
-        )
-        xyz4 = ops.fps_points(
-            xyz3, self.set_conv4.npoint, 0, exact=self.set_conv4.fps_exact
-        )
         p = self.variables["params"]
         st = self.variables["batch_stats"]
         fold = lambda name, sub, n: fold_pointmlp_vars(  # noqa: E731
@@ -173,7 +166,8 @@ class FlowNet3D(nn.Module):
             + fold("set_upconv3", "conv2", 1)
         )
         nf_1 = flowmid_fused(
-            pa_1, fa_1, pa_2, fa_2, pb_2, fb_2, xyz3, xyz4, flat,
+            pa_1, fa_1, pa_2, fa_2, pb_2, fb_2, flat,
+            self.set_conv3.npoint, self.set_conv4.npoint,
             self.flow_embedding.nsample,
             self.set_conv3.radius, self.set_conv3.nsample,
             self.set_conv4.radius, self.set_conv4.nsample,

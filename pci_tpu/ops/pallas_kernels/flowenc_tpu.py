@@ -33,17 +33,21 @@ TQ = 128  # query rows per tile
 TK = 256  # key rows per streamed tile
 
 
-def _flowenc_kernel(rows_ref, c1_ref, c2_ref, *refs,
+def _flowenc_kernel(rows_ref, c1_ref, *refs,
                     r1sq, k1, c_in1, n_tiles1, n_l1,
                     r2sq, k2, n_l2, s1, s2):
     """Grid: (B,).  rows_ref [1, C_in1, Npad] resident [xyz | feats];
-    c1_ref [1, 3, S1]; c2_ref [1, 3, S2]; then (WT, b) pairs for MLP1
-    (n_l1 layers) and MLP2 (n_l2); outputs f1 [1, C1out, S1],
-    f2 [1, C2out, S2]; scratch acc [max slot rows, TQ]."""
+    c1_ref [1, 3, S1]; then (WT, b) pairs for MLP1 (n_l1 layers) and
+    MLP2 (n_l2); outputs f1 [1, C1out, S1], f2 [1, C2out, S2],
+    c2 [1, 3, S2] (set_conv2's FPS centers, computed IN-KERNEL from
+    centers1 with the exact greedy loop); scratch acc [max rows, TQ]."""
+    from .flowmid_tpu import _fps_greedy
+
     w = refs[: 2 * (n_l1 + n_l2)]
     f1_ref = refs[2 * (n_l1 + n_l2)]
     f2_ref = refs[2 * (n_l1 + n_l2) + 1]
-    acc_ref = refs[2 * (n_l1 + n_l2) + 2]
+    c2_ref = refs[2 * (n_l1 + n_l2) + 2]
+    acc_ref = refs[2 * (n_l1 + n_l2) + 3]
     f32 = jnp.float32
 
     tri = (
@@ -135,13 +139,17 @@ def _flowenc_kernel(rows_ref, c1_ref, c2_ref, *refs,
 
     lax.fori_loop(0, s1 // TQ, stage1_tile, 0)
 
+    # set_conv2's FPS centers from centers1 — in-kernel exact greedy
+    c2 = _fps_greedy(c1_ref[0], s2)  # [3, S2]
+    c2_ref[0] = c2
+
     # stage 2: centers2 over [centers1 | f_1], all VMEM-resident
     rows2 = jnp.concatenate([c1_ref[0], f1_ref[0]], axis=0)  # [3+C1out, S1]
     c2rows = rows2.shape[0]
     row0_2 = rows2[:, 0][:, None]
 
     def stage2_tile(i, _):
-        q3 = c2_ref[0, :, pl.ds(i * TQ, TQ)]
+        q3 = lax.dynamic_slice_in_dim(c2, i * TQ, TQ, axis=1)
         ball_stage(
             q3,
             lambda t: lax.dynamic_slice_in_dim(rows2, t * TK, TK, axis=1),
@@ -152,9 +160,9 @@ def _flowenc_kernel(rows_ref, c1_ref, c2_ref, *refs,
     lax.fori_loop(0, s2 // TQ, stage2_tile, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def flowenc_fused(
-    xyz, feats, centers1, centers2, layers_flat,
+    xyz, feats, centers1, layers_flat, s2,
     radius1, k1, radius2, k2, n_l1, n_l2, interpret=False,
 ):
     """Fused set_conv1 + set_conv2 (FlowNet3D encoder) at eval.
@@ -162,17 +170,19 @@ def flowenc_fused(
     Args:
       xyz: ``[B, N, 3]`` input cloud.
       feats: ``[B, N, D]`` input features (zeros for LiDAR).
-      centers1: ``[B, S1, 3]`` FPS centers for set_conv1 (S1 % 128 == 0).
-      centers2: ``[B, S2, 3]`` FPS centers for set_conv2 (of centers1).
+      centers1: ``[B, S1, 3]`` FPS centers for set_conv1 (S1 % 256 == 0).
       layers_flat: folded ``(WT, b, ...)`` — MLP1's n_l1 layers then
         MLP2's n_l2 layers (fold_bn_layers per group, concatenated).
+      s2: set_conv2 center count — centers computed IN-KERNEL from
+        centers1 (exact greedy, start 0) and returned.
       radius1/k1, radius2/k2: ball radius and neighbor budget per stage.
 
     Returns:
-      ``(f_1 [B, S1, C1out], f_2 [B, S2, C2out])`` fp32.
+      ``(f_1 [B, S1, C1out], f_2 [B, S2, C2out], centers2 [B, S2, 3])``
+      fp32.
     """
     B, N, _ = xyz.shape
-    S1, S2 = centers1.shape[1], centers2.shape[1]
+    S1, S2 = centers1.shape[1], s2
     assert S1 % TK == 0 and S1 % TQ == 0 and S2 % TQ == 0
     D = feats.shape[-1]
     C = 3 + D
@@ -186,12 +196,10 @@ def flowenc_fused(
     ins = [
         jnp.swapaxes(rows, 1, 2),
         jnp.swapaxes(centers1.astype(jnp.float32), 1, 2),
-        jnp.swapaxes(centers2.astype(jnp.float32), 1, 2),
     ]
     in_specs = [
         pl.BlockSpec((1, C, Np), lambda b: (b, 0, 0)),
         pl.BlockSpec((1, 3, S1), lambda b: (b, 0, 0)),
-        pl.BlockSpec((1, 3, S2), lambda b: (b, 0, 0)),
     ]
     for j, w in enumerate(layers_flat):
         w = (w if j % 2 == 0 else w.reshape(-1, 1)).astype(jnp.float32)
@@ -202,7 +210,7 @@ def flowenc_fused(
     c2_out = layers_flat[-2].shape[0]
     scratch_rows = max(k1 * C, k2 * (3 + c1_out))
 
-    f1, f2 = pl.pallas_call(
+    f1, f2, c2 = pl.pallas_call(
         functools.partial(
             _flowenc_kernel,
             r1sq=float(radius1) ** 2, k1=k1, c_in1=C, n_tiles1=Np // TK,
@@ -214,10 +222,12 @@ def flowenc_fused(
         out_specs=[
             pl.BlockSpec((1, c1_out, S1), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, c2_out, S2), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 3, S2), lambda b: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, c1_out, S1), jnp.float32),
             jax.ShapeDtypeStruct((B, c2_out, S2), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, S2), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((scratch_rows, TQ), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -225,4 +235,5 @@ def flowenc_fused(
         ),
         interpret=interpret,
     )(*ins)
-    return jnp.swapaxes(f1, 1, 2), jnp.swapaxes(f2, 1, 2)
+    return (jnp.swapaxes(f1, 1, 2), jnp.swapaxes(f2, 1, 2),
+            jnp.swapaxes(c2, 1, 2))

@@ -27,11 +27,12 @@ Stage bodies reuse the proven per-stage recipes verbatim:
     semantics (setconv_tpu.py; keys are single-tile at these sizes so
     no streaming loop is needed).
 
-FPS centers for set_conv3/4 are computed OUTSIDE (ops.fps_points, the
-same call the SetConv modules make at eval where the start index is
-deterministic 0), so the kernel is pure dataflow.  BatchNorm folds into
-the weights (setconv_tpu.fold_bn_layers).  Training and CPU keep the
-XLA expression; no VJP here.
+FPS centers for set_conv3/4 are computed IN-KERNEL (the exact greedy
+loop of ops.fps, start 0 — the XLA route at these sizes is a
+sequential ``fori_loop`` whose ~1.25 us/iteration loop latency
+dominates, and the centers never leave the decode chain anyway).
+BatchNorm folds into the weights (setconv_tpu.fold_bn_layers).
+Training and CPU keep the XLA expression; no VJP here.
 """
 
 from __future__ import annotations
@@ -56,6 +57,38 @@ def _sqdist(q3, p3):
     py = p3[1][:, None]
     pz = p3[2][:, None]
     return (px - qx) ** 2 + (py - qy) ** 2 + (pz - qz) ** 2
+
+
+def _fps_greedy(p3, npoint):
+    """Exact greedy FPS over ``p3 [3, N]`` -> centers ``[3, npoint]``,
+    matching ops.fps's XLA loop step-for-step (start index 0, argmax =
+    FIRST max index via a min-iota tie-break, same fp32 reduction
+    order).  At these sizes (N <= 1024) the XLA route is a sequential
+    ``fori_loop`` whose per-iteration latency (~1.25 us, CLAUDE.md)
+    dominates — running the same loop inside the megakernel removes two
+    kernel launches AND the loop-boundary latency per stage."""
+    f32 = jnp.float32
+    n = p3.shape[1]
+    iota = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    kio = lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
+
+    def body(i, carry):
+        dist, far, cs = carry
+        oh = (iota == far).astype(f32)  # [1, n] one-hot of current pick
+        c = jnp.sum(p3 * oh, axis=1, keepdims=True)  # [3, 1] centroid
+        cs = jnp.where(kio == i, c, cs)  # record pick i
+        d = jnp.sum((p3 - c) ** 2, axis=0, keepdims=True)  # [1, n]
+        dist = jnp.minimum(dist, d)
+        m = jnp.max(dist)
+        far = jnp.min(jnp.where(dist == m, iota, jnp.int32(2**31 - 1)))
+        return dist, far, cs
+
+    _, _, cs = lax.fori_loop(
+        0, npoint, body,
+        (jnp.full((1, n), jnp.inf, f32), jnp.int32(0),
+         jnp.zeros((3, npoint), f32)),
+    )
+    return cs
 
 
 def _mlp(h, layers):
@@ -153,17 +186,17 @@ _N_LAYERS = (3, 3, 3, 2, 3, 1, 3, 1)  # fe sc3 sc4 su1_2 su2_1 su2_2 su3_1 su3_2
 def _flowmid_kernel(*refs, k_fe, r3sq, ns3, r4sq, ns4, k_up, n1, n2, s3, s4):
     """Grid: (B,).  Ref order: pa1 [1,3,N1], fa1 [1,Cf1,N1],
     pa2 [1,3,N2], fa2 [1,Cf2,N2], pb2 [1,3,N2], fb2 [1,Cf2,N2],
-    x3 [1,3,S3], x4 [1,3,S4], then (WT, b) pairs for the 8 MLP groups
-    (layer counts _N_LAYERS), out [1, Cout, N1]."""
+    then (WT, b) pairs for the 8 MLP groups (layer counts _N_LAYERS),
+    out [1, Cout, N1].  The set_conv3/4 FPS centers (s3/s4 picks) are
+    computed IN-KERNEL (_fps_greedy) — they are purely internal to the
+    decode chain."""
     pa1 = refs[0][0]
     fa1 = refs[1][0]
     pa2 = refs[2][0]
     fa2 = refs[3][0]
     pb2 = refs[4][0]
     fb2 = refs[5][0]
-    x3 = refs[6][0]
-    x4 = refs[7][0]
-    i = 8
+    i = 6
     groups = []
     for n in _N_LAYERS:
         groups.append(
@@ -172,6 +205,9 @@ def _flowmid_kernel(*refs, k_fe, r3sq, ns3, r4sq, ns4, k_up, n1, n2, s3, s4):
         i += 2 * n
     fe_l, sc3_l, sc4_l, su1_2, su2_1, su2_2, su3_1, su3_2 = groups
     out_ref = refs[i]
+
+    x3 = _fps_greedy(pa2, s3)
+    x4 = _fps_greedy(x3, s4)
 
     # FlowEmbedding: q=pa_2, keys=pb_2, per-slot input [dxyz|fb_g|fa_2]
     rows_b = jnp.concatenate([pb2, fb2], axis=0)
@@ -201,10 +237,10 @@ def _flowmid_kernel(*refs, k_fe, r3sq, ns3, r4sq, ns4, k_up, n1, n2, s3, s4):
     out_ref[0] = _mlp(jnp.concatenate([h, fa1], axis=0), su3_2)
 
 
-@functools.partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14, 15))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15))
 def flowmid_fused(
-    pa_1, fa_1, pa_2, fa_2, pb_2, fb_2, xyz3, xyz4, layers_flat,
-    k_fe=64, radius3=2.0, ns3=8, radius4=4.0, ns4=8, k_up=8,
+    pa_1, fa_1, pa_2, fa_2, pb_2, fb_2, layers_flat,
+    s3=64, s4=16, k_fe=64, radius3=2.0, ns3=8, radius4=4.0, ns4=8, k_up=8,
     interpret=False,
 ):
     """The whole FlowNet3D decode mid-section as one Pallas kernel.
@@ -214,8 +250,9 @@ def flowmid_fused(
         the query cloud (set_conv1 output).
       pa_2, fa_2: ``[B, N2, 3]`` / ``[B, N2, Cf2]`` level-2 encoding.
       pb_2, fb_2: level-2 encoding of the OTHER cloud.
-      xyz3, xyz4: ``[B, S3, 3]`` / ``[B, S4, 3]`` FPS centers for
-        set_conv3/4 (ops.fps_points of pa_2 / xyz3 — eval start 0).
+      s3, s4: set_conv3/4 FPS center counts — the centers are computed
+        IN-KERNEL with the exact greedy loop (start 0, ops.fps
+        semantics); they never leave the decode chain.
       layers_flat: flat ``(WT, b, ...)`` tuple concatenating the folded
         MLP groups in order (fe, sc3, sc4, su1.conv2, su2.conv1,
         su2.conv2, su3.conv1, su3.conv2) with layer counts
@@ -227,12 +264,10 @@ def flowmid_fused(
     """
     B, N1, _ = pa_1.shape
     N2 = pa_2.shape[1]
-    S3, S4 = xyz3.shape[1], xyz4.shape[1]
     assert sum(_N_LAYERS) * 2 == len(layers_flat)
 
     tr = lambda a: jnp.swapaxes(a.astype(jnp.float32), 1, 2)  # noqa: E731
-    ins = [tr(pa_1), tr(fa_1), tr(pa_2), tr(fa_2), tr(pb_2), tr(fb_2),
-           tr(xyz3), tr(xyz4)]
+    ins = [tr(pa_1), tr(fa_1), tr(pa_2), tr(fa_2), tr(pb_2), tr(fb_2)]
     in_specs = [
         pl.BlockSpec((1,) + a.shape[1:], lambda b: (b, 0, 0)) for a in ins
     ]
@@ -246,7 +281,7 @@ def flowmid_fused(
         functools.partial(
             _flowmid_kernel, k_fe=k_fe, r3sq=float(radius3) ** 2, ns3=ns3,
             r4sq=float(radius4) ** 2, ns4=ns4, k_up=k_up,
-            n1=N1, n2=N2, s3=S3, s4=S4,
+            n1=N1, n2=N2, s3=s3, s4=s4,
         ),
         grid=(B,),
         in_specs=in_specs,
