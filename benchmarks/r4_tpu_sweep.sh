@@ -5,11 +5,11 @@
 #
 #   bash benchmarks/r4_tpu_sweep.sh [stage...]   # default: all stages
 #
-# Stages: probes tests ab table6 cells64k bwdab train emd flownet isapci
-#         decodeab resiab fusionw attnab bench
+# Stages: probes tests ab table6 cells64k bwdab serving train emd
+#         flownet isapci decodeab resiab fusionw attnab bench
 set -x
 cd "$(dirname "$0")/.."
-STAGES="${@:-probes tests ab table6 cells64k bwdab train emd flownet isapci decodeab resiab fusionw attnab bench}"
+STAGES="${@:-probes tests ab table6 cells64k bwdab serving train emd flownet isapci decodeab resiab fusionw attnab bench}"
 LOG=results/logs/r4_sweep_$(date +%m%d_%H%M)
 mkdir -p "$LOG"
 
@@ -28,6 +28,7 @@ for s in $STAGES; do case $s in
   table6)   run table6 3600 python -m benchmarks.profile_models --table6 ;;
   cells64k) run cells64k 3600 python -m benchmarks.r4_ab_kernels --sections cells64k ;;
   bwdab)    run bwdab 1800 python -m benchmarks.r4_ab_kernels --sections bwdab ;;
+  serving)  run serving 2400 python -m benchmarks.bench_serving ;;
   train)    run train 2400 python -m benchmarks.bench_train ;;
   emd)      run emd 2400 python -m benchmarks.bench_emd --sizes 16384 --eps 1e-3 ;;
   flownet)  run flownet 2400 python -m benchmarks.profile_flownet ;;

@@ -624,8 +624,14 @@ class TestFusedKnnConvTpu:
         got = jax.jit(
             lambda v: model.apply(v, x1, x2, z, z, train=False)
         )(vars_)
+        from pci_tpu.models import flownet3d as fmod
+
         monkeypatch.setattr(layers_mod, "_knnconv_ok", lambda *_: False)
         monkeypatch.setattr(layers_mod, "_setconv_ok", lambda *_: False)
+        # r4: the enc/mid megakernels bypass the layer gates — the pure-
+        # XLA reference arm must turn them off too
+        monkeypatch.setattr(fmod, "_mid_ok", lambda train: False)
+        monkeypatch.setattr(fmod, "_enc_ok", lambda train: False)
         ref = jax.jit(
             lambda v: model.apply(v, x1, x2, z, z, train=False)
         )(vars_)
