@@ -440,8 +440,26 @@ class PointsFusionWithFeatures(nn.Module):
             )
             nfs = ops.index_points(combined_feats, idx)
         elif _fused_kernel_ok(points1, k):
-            from ..ops.pallas_kernels import knn_fusion_adaptive
+            from ..ops.pallas_kernels import (
+                knn_fusion_adaptive,
+                knn_fusion_attention,
+            )
 
+            if _fusion_oneshot_ok(train):
+                # kNN + attention head + payload reduce in ONE kernel
+                from .layers import _fold_pointmlp
+
+                dummy = jnp.zeros((1, 4), policy.compute_dtype())
+                _ = PointMLP(self.mlp, norm="batch")(dummy, train=False)
+                layers = _fold_pointmlp(self, "PointMLP_0", len(self.mlp))
+                seg_ends = jnp.stack([N1, jnp.full_like(N1, N)], axis=1)
+                budgets = jnp.stack([k1, k2], axis=1)
+                return knn_fusion_attention(
+                    combined, seg_ends, budgets, layers, k, _ALIGN,
+                    _FUSION_WINNERS,
+                    interpret=jax.default_backend() != "tpu",
+                    payload=combined_feats,
+                )
             idx, resi = knn_fusion_adaptive(
                 combined, N1, k1, k, _ALIGN, emit_idx=True,
                 winners=_FUSION_WINNERS,

@@ -63,7 +63,7 @@ _IMAX = jnp.iinfo(jnp.int32).max
 
 
 def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
-                       emit_idx, winners=1, n_tail=0):
+                       emit_idx, winners=1, n_tail=0, n_pay=0):
     """Grid: (B, S // TQ).
 
     q_ref [1, 3, TQ] query tile; p_ref [1, 3, N] whole combined cloud.
@@ -93,13 +93,23 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
     [j * W * nb_tile + w * nb_tile + b_local] so the bucket id of any
     candidate row is recoverable for segment masking.
     """
+    pay_ref = qpay_ref = None
+    i0 = 0
+    if n_pay:  # payload rows ride the one-shot reduce (n_tail mode only)
+        pay_ref, qpay_ref = refs[0], refs[1]
+        i0 = 2
     if n_tail:
         assert not (emit_d or emit_idx)
-        wtail = refs[: 2 * n_tail]
-        outs, rest = refs[2 * n_tail: 2 * n_tail + 1], refs[2 * n_tail + 1:]
+        wtail = refs[i0: i0 + 2 * n_tail]
+        outs = refs[i0 + 2 * n_tail: i0 + 2 * n_tail + 1]
+        rest = refs[i0 + 2 * n_tail + 1:]
     else:
+        assert not n_pay
         n_out = 1 + int(emit_d) + int(emit_idx)
         outs, rest = refs[:n_out], refs[n_out:]
+    cand_p = None
+    if n_pay:
+        rest, cand_p = rest[:-1], rest[-1]
     if emit_idx:
         cand_k, cand_i, cand_x, cand_y, cand_z = rest
     else:
@@ -147,6 +157,17 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
             cand_x[sl, :] = cx
             cand_y[sl, :] = cy
             cand_z[sl, :] = cz
+            if n_pay:
+                pt = jnp.transpose(
+                    pay_ref[0, :, pl.ds(j * TK, TK)]
+                ).reshape(nb_tile, l, n_pay)
+                for ch in range(n_pay):
+                    cp = jnp.sum(
+                        jnp.where(oh, pt[:, :, ch][..., None], 0.0), axis=1
+                    )
+                    cand_p[pl.ds(
+                        ch * (winners * nb_total)
+                        + (j * winners + w) * nb_tile, nb_tile), :] = cp
             if w + 1 < winners:
                 # every packed key is unique (loc LSBs): exactly one lane
                 # per bucket clears
@@ -222,8 +243,10 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
         """One-shot mode: score this round's residual with the folded
         MLP and fold it into the ONLINE softmax accumulators (flash
         recipe: running max sm, rescaled weight sum sw, weighted
-        residual accumulators ax/ay/az)."""
-        keys, sm, sw, ax, ay, az = carry
+        residual accumulators ax/ay/az, weighted payload accumulators
+        ap).  An exhausted round contributes the query's OWN payload
+        (the self-neighbor convention — XLA gathers idx=qpos there)."""
+        keys, sm, sw, ax, ay, az, *ap = carry
         keys, valid, sel, rx, ry, rz = _winner_resi(keys)
         nrm = jnp.sqrt(rx * rx + ry * ry + rz * rz + 1e-12)  # _safe_norm
         h = jnp.concatenate(
@@ -239,15 +262,22 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
         m2 = jnp.maximum(sm, s)
         f = jnp.exp(sm - m2)
         w = jnp.exp(s - m2)
+        ap2 = []
+        for ch in range(n_pay):
+            pv = jnp.sum(jnp.where(
+                sel, cand_p[pl.ds(ch * nb_rows, nb_rows), :], 0.0), axis=0)
+            pv = jnp.where(valid, pv, qpay_ref[0, ch, :])
+            ap2.append(ap[ch] * f + w * pv)
         return (keys, m2, sw * f + w, ax * f + w * rx, ay * f + w * ry,
-                az * f + w * rz)
+                az * f + w * rz, *ap2)
 
     # F extraction phases: segment j gets budget_j rounds on its own row
     # range, writing output slots [kcum_j, kcum_{j+1}) — dynamic trip
     # counts, exactly k rounds TOTAL across all phases, block pre-merged
     if n_tail:
         zq = jnp.zeros((TQ,), jnp.float32)
-        carry = (jnp.full((TQ,), -jnp.inf, jnp.float32), zq, zq, zq, zq)
+        carry = (jnp.full((TQ,), -jnp.inf, jnp.float32), zq, zq, zq, zq,
+                 *([zq] * n_pay))
         body = extract_fused
     else:
         carry = (zf, zi, zf, zf, zf)
@@ -267,11 +297,13 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
         kcum = kcum + budget
 
     if n_tail:
-        _, sw, ax, ay, az = carry
+        _, sw, ax, ay, az, *ap = carry
         out = outs[0]
         out[0, 0] = qx + ax / sw
         out[0, 1] = qy + ay / sw
         out[0, 2] = qz + az / sw
+        for ch in range(n_pay):
+            out[0, 3 + ch] = ap[ch] / sw
         return
     od_a, oi_a, rx_a, ry_a, rz_a = carry
 
@@ -287,7 +319,8 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
 
 
 def _fusion_impl(combined, seg_ends, budgets, k, bucket, emit_d, emit_idx,
-                 winners=1, interpret=False, tail_layers=None):
+                 winners=1, interpret=False, tail_layers=None,
+                 payload=None):
     combined = lax.stop_gradient(combined)
     B, N, C = combined.shape
     F = seg_ends.shape[1]
@@ -315,11 +348,23 @@ def _fusion_impl(combined, seg_ends, budgets, k, bucket, emit_d, emit_idx,
     ).reshape(-1)  # [B * 2F]: F ends then F budgets per batch
 
     n_tail = len(tail_layers) // 2 if tail_layers else 0
+    n_pay = payload.shape[-1] if payload is not None else 0
     ins = [scal, q_t, p_t]
     in_specs = [
         pl.BlockSpec((1, 3, TQ), lambda b, i, s: (b, 0, i)),
         pl.BlockSpec((1, 3, Np), lambda b, i, s: (b, 0, 0)),
     ]
+    if n_pay:
+        assert n_tail, "payload reduce requires one-shot tail mode"
+        pay = payload.astype(jnp.float32)
+        pay_k = jnp.pad(pay, ((0, 0), (0, n_pad), (0, 0)))
+        pay_q = jnp.pad(pay, ((0, 0), (0, s_pad), (0, 0)))
+        ins.append(jnp.swapaxes(pay_k, 1, 2))
+        in_specs.append(
+            pl.BlockSpec((1, n_pay, Np), lambda b, i, s: (b, 0, 0)))
+        ins.append(jnp.swapaxes(pay_q, 1, 2))
+        in_specs.append(
+            pl.BlockSpec((1, n_pay, TQ), lambda b, i, s: (b, 0, i)))
     if n_tail:
         assert not (emit_d or emit_idx)
         for j, w in enumerate(tail_layers):
@@ -329,8 +374,10 @@ def _fusion_impl(combined, seg_ends, budgets, k, bucket, emit_d, emit_idx,
 
     out_specs, out_shapes = [], []
     if n_tail:
-        out_specs.append(pl.BlockSpec((1, 3, TQ), lambda b, i, s: (b, 0, i)))
-        out_shapes.append(jax.ShapeDtypeStruct((B, 3, Sp), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 3 + n_pay, TQ), lambda b, i, s: (b, 0, i)))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B, 3 + n_pay, Sp), jnp.float32))
     else:
         if emit_d:
             out_specs.append(
@@ -349,10 +396,12 @@ def _fusion_impl(combined, seg_ends, budgets, k, bucket, emit_d, emit_idx,
     if emit_idx:
         scratch.append(pltpu.VMEM((nrows, TQ), jnp.int32))
     scratch += [pltpu.VMEM((nrows, TQ), jnp.float32)] * 3
+    if n_pay:
+        scratch.append(pltpu.VMEM((n_pay * nrows, TQ), jnp.float32))
 
     kernel = functools.partial(
         _fusion_knn_kernel, k=k, n=Np, l=l, nseg=F, emit_d=emit_d,
-        emit_idx=emit_idx, winners=winners, n_tail=n_tail,
+        emit_idx=emit_idx, winners=winners, n_tail=n_tail, n_pay=n_pay,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -494,7 +543,7 @@ def knn_fusion_adaptive(combined: jax.Array, split: jax.Array,
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def knn_fusion_attention(combined, seg_ends, budgets, tail_layers, k: int,
                          bucket: int = 16, winners: int = 1,
-                         interpret=False):
+                         interpret=False, payload=None):
     """ONE-SHOT fusion head: budgeted multi-segment self-kNN AND the
     attention tail (score MLP + channel max + softmax over k + weighted
     residual reduce, reference Utils/Layers.py:264-283) in a single
@@ -512,12 +561,17 @@ def knn_fusion_attention(combined, seg_ends, budgets, tail_layers, k: int,
         (fold_bn_layers); layer 0 takes the 4 channels
         ``[resi | safe-norm]``.
       k: static total neighbor count.
+      payload: ``[B, N, Cp]`` per-combined-row features (intensity) to
+        reduce with the same attention weights (the
+        PointsFusionWithFeatures variant) — candidate payload rows ride
+        the bucket phase as extra winner planes; exhausted rounds
+        contribute the query's own payload (self-neighbor convention).
 
     Returns:
-      fused ``[B, N, 3]`` fp32 (= combined + attention-weighted
-      residual sum).
+      fused ``[B, N, 3 + Cp]`` fp32 (= combined + attention-weighted
+      residual sum, then the weighted payload reduce).
     """
     return _fusion_impl(
         combined, seg_ends, budgets, k, bucket, False, False, winners,
-        interpret, tuple(tail_layers),
+        interpret, tuple(tail_layers), payload,
     )

@@ -560,6 +560,56 @@ class TestFusedFusionTail:
             np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
         )
 
+    def test_oneshot_kernel_payload_parity(self, rng):
+        """One-shot kernel with payload channels (intensity reduce) vs
+        the two-step route: adaptive kNN idx -> payload gather -> XLA
+        tail with the same weights."""
+        from pci_tpu import ops
+        from pci_tpu.nn.fusion import _safe_norm
+        from pci_tpu.nn.mlp import PointMLP
+        from pci_tpu.ops.pallas_kernels import (
+            knn_fusion_adaptive,
+            knn_fusion_attention,
+        )
+        from pci_tpu.ops.pallas_kernels.setconv_tpu import fold_bn_layers
+
+        B, N, k, bucket, cp = 2, 96, 8, 16, 2
+        combined = cloud(rng, B, N)
+        payload = jnp.asarray(
+            rng.standard_normal((B, N, cp)).astype(np.float32))
+        split = jnp.asarray([48, 64], jnp.int32)
+        k1 = jnp.asarray([5, 3], jnp.int32)
+
+        idx, resi = knn_fusion_adaptive(
+            combined, split, k1, k, bucket, emit_idx=True, interpret=True
+        )
+        nfs = ops.index_points(payload, idx)
+        mlp = PointMLP((16, 24), norm="batch")
+        feats = jnp.concatenate([resi, _safe_norm(resi)], axis=-1)
+        v = mlp.init(jax.random.key(0), feats, train=False)
+        h = mlp.apply(v, feats, train=False)
+        w = jax.nn.softmax(jnp.max(h, axis=-1), axis=-1)[..., None]
+        ref = jnp.concatenate(
+            [combined + jnp.sum(w * resi, axis=2),
+             jnp.sum(w * nfs, axis=2)], axis=-1,
+        )
+
+        p, st = v["params"], v["batch_stats"]
+        layers = fold_bn_layers(
+            [p[f"Dense_{i}"] for i in range(2)],
+            [p[f"BatchNorm_{i}"] for i in range(2)],
+            [st[f"BatchNorm_{i}"] for i in range(2)],
+        )
+        seg_ends = jnp.stack([split, jnp.full_like(split, N)], axis=1)
+        budgets = jnp.stack([k1, k - k1], axis=1)
+        got = knn_fusion_attention(
+            combined, seg_ends, budgets, layers, k, bucket, 1, True,
+            payload=payload,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
+        )
+
     def test_pointsfusion_oneshot_route(self, monkeypatch):
         """PointsFusion module wiring through the one-shot kernel
         (interpret on CPU) vs the two-kernel route (resi kernel + XLA
@@ -600,6 +650,51 @@ class TestFusedFusionTail:
             fusion_mod, "_fusion_oneshot_ok", lambda train: not train
         )
         got = fusion.apply(vars_, p1, p2, 8, t, train=False, rngs=rngs)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
+    def test_pointsfusion_with_features_oneshot_route(self, monkeypatch):
+        """PointsFusionWithFeatures (intensity) through the one-shot
+        payload kernel vs the two-kernel route (idx kernel + payload
+        gather + XLA tail)."""
+        import functools
+
+        import pci_tpu.nn as pnn_mod
+        import pci_tpu.ops.pallas_kernels as pk
+        from pci_tpu.nn import fusion as fusion_mod
+
+        rng = np.random.default_rng(6)
+        fusion = pnn_mod.PointsFusionWithFeatures((16, 24))
+        p1 = cloud(rng, 1, 256)
+        p2 = p1 + 0.03 * jnp.asarray(
+            rng.standard_normal((1, 256, 3)).astype(np.float32)
+        )
+        f1 = jnp.asarray(rng.standard_normal((1, 256, 1)).astype(np.float32))
+        f2 = jnp.asarray(rng.standard_normal((1, 256, 1)).astype(np.float32))
+        t = jnp.asarray([0.4], jnp.float32)
+        rngs = {"sample": jax.random.key(3)}
+        vars_ = fusion.init(
+            {"params": jax.random.key(0), **rngs}, p1, p2, f1, f2, 8, t,
+            train=False,
+        )
+        monkeypatch.setattr(
+            fusion_mod, "_fused_kernel_ok", lambda pts, k: True
+        )
+        monkeypatch.setattr(
+            pk, "knn_fusion_adaptive",
+            functools.partial(pk.knn_fusion_adaptive, interpret=True),
+        )
+        monkeypatch.setattr(
+            fusion_mod, "_fusion_oneshot_ok", lambda train: False
+        )
+        ref = fusion.apply(vars_, p1, p2, f1, f2, 8, t, train=False,
+                           rngs=rngs)
+        monkeypatch.setattr(
+            fusion_mod, "_fusion_oneshot_ok", lambda train: not train
+        )
+        got = fusion.apply(vars_, p1, p2, f1, f2, 8, t, train=False,
+                           rngs=rngs)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
         )
