@@ -245,6 +245,18 @@ def section_cells64k(reps, npoints=65536):
         (seg_ends, budgets),
         max(reps // 4, 3), "fusion kNN 64k CELLS 2-pass",
     )
+    # one-shot tail mode: fused rows out, no [64k,32,3] resi block or
+    # un-permute gather (random folded weights — timing only)
+    wr = np.random.default_rng(1)
+    layers = (jnp.asarray(wr.normal(size=(64, 4)).astype(np.float32)),
+              jnp.zeros((64,), jnp.float32),
+              jnp.asarray(wr.normal(size=(128, 64)).astype(np.float32)),
+              jnp.zeros((128,), jnp.float32))
+    oneshot = _slope(
+        lambda s, kk, c: knn_fusion_cells(
+            combined + c, s, kk, k, tail_layers=layers),
+        (split, k1), max(reps // 4, 3), "fusion 64k CELLS 1-pass ONESHOT",
+    )
 
     # neighbor agreement vs flat (both approximate)
     fi = np.asarray(knn_fusion_adaptive(
@@ -257,8 +269,9 @@ def section_cells64k(reps, npoints=65536):
     agree = sum(len(set(fi[0, q]) & set(ci[0, q])) for q in qs) / (len(qs) * k)
     agree32 = sum(len(set(fi[0, q]) & set(ci32[0, q])) for q in qs) / (len(qs) * k)
     print(f"  -> flat {flat:.2f} vs 1-pass {single:.2f} (l=32: "
-          f"{single32:.2f}) vs 2-pass {twop:.2f} ms; agreement vs flat "
-          f"l=16 {agree:.3f} / l=32 {agree32:.3f}", flush=True)
+          f"{single32:.2f}, oneshot {oneshot:.2f}) vs 2-pass {twop:.2f} "
+          f"ms; agreement vs flat l=16 {agree:.3f} / l=32 {agree32:.3f}",
+          flush=True)
 
 
 def section_bwdab(reps, npoints=16384):

@@ -352,6 +352,18 @@ class PointsFusion(nn.Module):
         )
 
         if _cells_route_ok(points1, k, train):
+            if _fusion_oneshot_ok(train):
+                from ..ops.pallas_kernels import knn_fusion_cells
+                from .layers import _fold_pointmlp
+
+                dummy = jnp.zeros((1, 4), policy.compute_dtype())
+                _ = PointMLP(self.mlp, norm="batch")(dummy, train=False)
+                layers = _fold_pointmlp(self, "PointMLP_0", len(self.mlp))
+                return knn_fusion_cells(
+                    combined, N1, k1, k,
+                    interpret=jax.default_backend() != "tpu",
+                    tail_layers=layers,
+                )
             resi = _cells_fusion_knn(
                 combined,
                 jnp.stack([N1, jnp.full_like(N1, N)], axis=1),
@@ -433,6 +445,18 @@ class PointsFusionWithFeatures(nn.Module):
         )
 
         if _cells_route_ok(points1, k, train):
+            if _fusion_oneshot_ok(train):
+                from ..ops.pallas_kernels import knn_fusion_cells
+                from .layers import _fold_pointmlp
+
+                dummy = jnp.zeros((1, 4), policy.compute_dtype())
+                _ = PointMLP(self.mlp, norm="batch")(dummy, train=False)
+                layers = _fold_pointmlp(self, "PointMLP_0", len(self.mlp))
+                return knn_fusion_cells(
+                    combined, N1, k1, k,
+                    interpret=jax.default_backend() != "tpu",
+                    tail_layers=layers, payload=combined_feats,
+                )
             idx, resi = _cells_fusion_knn(
                 combined,
                 jnp.stack([N1, jnp.full_like(N1, N)], axis=1),

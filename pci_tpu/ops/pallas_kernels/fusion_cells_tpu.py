@@ -52,7 +52,8 @@ _IMAX = jnp.iinfo(jnp.int32).max
 
 
 def _fusion_cells_kernel(scal_ref, chunks_ref, qt_ref, p_ref, ids_ref,
-                         *refs, k, l, C, M, tq, winners, emit_idx):
+                         *refs, k, l, C, M, tq, winners, emit_idx,
+                         n_tail=0, n_pay=0):
     """Grid: (B, Sp // tq).
 
     scal_ref: per batch ``[k1, k2]`` budgets (scalar prefetch).
@@ -64,9 +65,30 @@ def _fusion_cells_kernel(scal_ref, chunks_ref, qt_ref, p_ref, ids_ref,
     scratch: cand_k, cand_i, cand_x/y/z — [2 * winners * M * C // l, tq];
     candidate rows for chunk-scan m are laid out
     ``[((m * 2 + seg) * winners + w) * nb_chunk + bucket]``.
+
+    ``n_tail`` > 0 = ONE-SHOT attention-fusion mode (the flat kernel's
+    fusion_knn_tpu recipe): inputs gain [pay [1, n_pay, Np] sorted
+    payload rows]? + 2*n_tail folded score-MLP (WT, b) refs, the only
+    output is fused [1, 3 + n_pay, tq] (in SORTED order — the wrapper
+    un-permutes [B, N, 3+n_pay] instead of a [B, N, k, 3] block), and
+    extraction feeds an online softmax.
     """
-    n_out = 1 + int(emit_idx)
-    outs, rest = refs[:n_out], refs[n_out:]
+    pay_ref = None
+    i0 = 0
+    if n_pay:
+        pay_ref = refs[0]
+        i0 = 1
+    if n_tail:
+        wtail = refs[i0: i0 + 2 * n_tail]
+        outs = refs[i0 + 2 * n_tail: i0 + 2 * n_tail + 1]
+        rest = refs[i0 + 2 * n_tail + 1:]
+    else:
+        assert not n_pay
+        n_out = 1 + int(emit_idx)
+        outs, rest = refs[:n_out], refs[n_out:]
+    cand_p = None
+    if n_pay:
+        rest, cand_p = rest[:-1], rest[-1]
     cand_k, cand_i, cand_x, cand_y, cand_z = rest
 
     nb_chunk = C // l
@@ -114,6 +136,18 @@ def _fusion_cells_kernel(scal_ref, chunks_ref, qt_ref, p_ref, ids_ref,
                     jnp.where(oh, p3[:, :, 1][..., None], 0.0), axis=0)
                 cand_z[sl, :] = jnp.sum(
                     jnp.where(oh, p3[:, :, 2][..., None], 0.0), axis=0)
+                if n_pay:
+                    pt = jnp.transpose(
+                        pay_ref[0, :, pl.ds(start, C)]
+                    ).reshape(l, nb_chunk, n_pay)
+                    nb_all = 2 * winners * M * nb_chunk
+                    for ch in range(n_pay):
+                        cp = jnp.sum(jnp.where(
+                            oh, pt[:, :, ch][..., None], 0.0), axis=0)
+                        cand_p[pl.ds(
+                            ch * nb_all
+                            + (((m * 2 + seg) * winners) + w) * nb_chunk,
+                            nb_chunk), :] = cp
                 if w + 1 < winners:
                     keys = jnp.where(oh, _IMAX, keys)
         return 0
@@ -140,8 +174,7 @@ def _fusion_cells_kernel(scal_ref, chunks_ref, qt_ref, p_ref, ids_ref,
     zf = jnp.zeros((tq, k), jnp.float32)
     zi = jnp.zeros((tq, k), jnp.int32)
 
-    def extract(jj, carry):
-        keys, oi_a, rx_a, ry_a, rz_a = carry
+    def _winner_resi(keys):
         m = jnp.min(keys, axis=0)  # [tq]
         valid = m != _IMAX
         sel = keys == m[None, :]
@@ -151,6 +184,11 @@ def _fusion_cells_kernel(scal_ref, chunks_ref, qt_ref, p_ref, ids_ref,
         rx = jnp.where(valid, x - qx, 0.0)
         ry = jnp.where(valid, y - qy, 0.0)
         rz = jnp.where(valid, z - qz, 0.0)
+        return jnp.where(sel, _IMAX, keys), valid, sel, rx, ry, rz
+
+    def extract(jj, carry):
+        keys, oi_a, rx_a, ry_a, rz_a = carry
+        keys, valid, sel, rx, ry, rz = _winner_resi(keys)
         i = jnp.sum(jnp.where(sel, ci, 0), axis=0)
         i = jnp.where(valid, i, qoid)
         upd = kiota == jj
@@ -158,15 +196,60 @@ def _fusion_cells_kernel(scal_ref, chunks_ref, qt_ref, p_ref, ids_ref,
         rx_a = jnp.where(upd, rx[:, None], rx_a)
         ry_a = jnp.where(upd, ry[:, None], ry_a)
         rz_a = jnp.where(upd, rz[:, None], rz_a)
-        keys = jnp.where(sel, _IMAX, keys)
         return keys, oi_a, rx_a, ry_a, rz_a
 
+    def extract_fused(jj, carry):
+        """One-shot mode: online softmax (fusion_knn_tpu recipe);
+        exhausted rounds contribute zero residual + the query's OWN
+        payload (self-neighbor convention)."""
+        keys, sm, sw, ax, ay, az, *ap = carry
+        keys, valid, sel, rx, ry, rz = _winner_resi(keys)
+        nrm = jnp.sqrt(rx * rx + ry * ry + rz * rz + 1e-12)  # _safe_norm
+        h = jnp.concatenate(
+            [rx[None, :], ry[None, :], rz[None, :], nrm[None, :]], axis=0
+        )
+        for t_ in range(n_tail):
+            h = lax.dot_general(
+                wtail[2 * t_][...], h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + wtail[2 * t_ + 1][...]
+            h = jnp.maximum(h, 0.0)
+        s = jnp.max(h, axis=0)
+        m2 = jnp.maximum(sm, s)
+        f = jnp.exp(sm - m2)
+        w = jnp.exp(s - m2)
+        ap2 = []
+        for ch in range(n_pay):
+            pv = jnp.sum(jnp.where(
+                sel, cand_p[pl.ds(ch * nb_rows, nb_rows), :], 0.0), axis=0)
+            pv = jnp.where(valid, pv, pay_ref[0, ch, pl.ds(it * tq, tq)])
+            ap2.append(ap[ch] * f + w * pv)
+        return (keys, m2, sw * f + w, ax * f + w * rx, ay * f + w * ry,
+                az * f + w * rz, *ap2)
+
     k1 = scal_ref[b * 2]
-    carry = (zi, zf, zf, zf)
+    if n_tail:
+        zq = jnp.zeros((tq,), jnp.float32)
+        carry = (jnp.full((tq,), -jnp.inf, jnp.float32), zq, zq, zq, zq,
+                 *([zq] * n_pay))
+        body = extract_fused
+    else:
+        carry = (zi, zf, zf, zf)
+        body = extract
     keys_a = jnp.where(seg_row == 0, ck, _IMAX)
-    _, *carry = lax.fori_loop(0, k1, extract, (keys_a, *carry))
+    _, *carry = lax.fori_loop(0, k1, body, (keys_a, *carry))
     keys_b = jnp.where(seg_row == 1, ck, _IMAX)
-    _, *carry = lax.fori_loop(k1, k, extract, (keys_b, *carry))
+    _, *carry = lax.fori_loop(k1, k, body, (keys_b, *carry))
+
+    if n_tail:
+        _, sw, ax, ay, az, *ap = carry
+        out = outs[0]
+        out[0, 0] = qx + ax / sw
+        out[0, 1] = qy + ay / sw
+        out[0, 2] = qz + az / sw
+        for ch in range(n_pay):
+            out[0, 3 + ch] = ap[ch] / sw
+        return
     oi_a, rx_a, ry_a, rz_a = carry
 
     itr = iter(outs)
@@ -183,7 +266,7 @@ def knn_fusion_cells(
     combined: jax.Array, split: jax.Array, k1: jax.Array, k: int,
     chunk: int = 512, m_chunks: int = 16, bucket: int = 16,
     winners: int = 2, tile: int = 256, emit_idx: bool = False,
-    interpret=False,
+    interpret=False, tail_layers=None, payload=None,
 ):
     """Two-segment budgeted self-kNN of ``combined`` in ONE cell-pruned
     pass (see module docstring).
@@ -195,8 +278,16 @@ def knn_fusion_cells(
       k: total neighbors (static).
       chunk / m_chunks / bucket / winners / tile: knn_cells params.
       emit_idx: also return global indices into ``combined``.
+      tail_layers: folded score-MLP ``(WT, b, ...)`` — switches to
+        ONE-SHOT attention-fusion output (the fusion_knn_tpu online-
+        softmax recipe): returns fused ``[B, N, 3 + Cp]`` directly, and
+        the [B, N, k, 3] residual block (25 MB @64k) plus its
+        un-permute gather never exist.
+      payload: ``[B, N, Cp]`` rows reduced with the attention weights
+        (one-shot mode only; rides the Morton sort).
 
     Returns:
+      one-shot mode: fused ``[B, N, 3 + Cp]`` fp32.  Otherwise
       ``([idx [B,N,k]]?, resi [B,N,k,3])`` — slots [0,k1) from segment
       A then [k1,k) from B, residual ``neighbor - query`` exact fp32;
       starved slots are zero-residual self-neighbors.  No gradients
@@ -270,41 +361,76 @@ def knn_fusion_cells(
         [jnp.minimum(perm, N - 1)[:, None, :], cls[:, None, :]], axis=1
     )  # [B, 2, Np]
 
+    n_tail = len(tail_layers) // 2 if tail_layers else 0
+    n_pay = payload.shape[-1] if payload is not None else 0
+
     n_cand = 2 * W * M * C // l
     scratch = [pltpu.VMEM((n_cand, tq), jnp.int32)] * 2
     scratch += [pltpu.VMEM((n_cand, tq), jnp.float32)] * 3
+    if n_pay:
+        scratch.append(pltpu.VMEM((n_pay * n_cand, tq), jnp.float32))
+
+    ins = [scal, chunk_ids, p_t, p_t, ids]
+    in_specs = [
+        pl.BlockSpec((1, 3, tq), lambda b, i, s1, s2: (b, 0, i)),
+        pl.BlockSpec((1, 3, Np), lambda b, i, s1, s2: (b, 0, 0)),
+        pl.BlockSpec((1, 2, Np), lambda b, i, s1, s2: (b, 0, 0)),
+    ]
+    if n_pay:
+        assert n_tail, "payload reduce requires one-shot tail mode"
+        pay = jnp.pad(
+            payload.astype(jnp.float32), ((0, 0), (0, n_pad), (0, 0)))
+        pay_sorted = jnp.take_along_axis(pay, perm[..., None], axis=1)
+        ins.append(jnp.swapaxes(pay_sorted, 1, 2))
+        in_specs.append(
+            pl.BlockSpec((1, n_pay, Np), lambda b, i, s1, s2: (b, 0, 0)))
+    if n_tail:
+        for j, w in enumerate(tail_layers):
+            w = (w if j % 2 == 0 else w.reshape(-1, 1)).astype(jnp.float32)
+            ins.append(w)
+            in_specs.append(
+                pl.BlockSpec(w.shape, lambda b, i, s1, s2: (0, 0)))
+        out_specs = [
+            pl.BlockSpec((1, 3 + n_pay, tq), lambda b, i, s1, s2: (b, 0, i)),
+        ]
+        out_shapes = [
+            jax.ShapeDtypeStruct((B, 3 + n_pay, Np), jnp.float32),
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((1, tq, k), lambda b, i, s1, s2: (b, i, 0)),
+            pl.BlockSpec((1, 3, tq, k), lambda b, i, s1, s2: (b, 0, i, 0)),
+        ]
+        out_shapes = [
+            jax.ShapeDtypeStruct((B, Np, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, 3, Np, k), jnp.float32),
+        ]
 
     kernel = functools.partial(
         _fusion_cells_kernel, k=k, l=l, C=C, M=M, tq=tq, winners=W,
         emit_idx=True,  # cand_i always tracked (far-slot self ids)
+        n_tail=n_tail, n_pay=n_pay,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 3, tq), lambda b, i, s1, s2: (b, 0, i)),
-            pl.BlockSpec((1, 3, Np), lambda b, i, s1, s2: (b, 0, 0)),
-            pl.BlockSpec((1, 2, Np), lambda b, i, s1, s2: (b, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, tq, k), lambda b, i, s1, s2: (b, i, 0)),
-            pl.BlockSpec((1, 3, tq, k), lambda b, i, s1, s2: (b, 0, i, 0)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Np, k), jnp.int32),
-            jax.ShapeDtypeStruct((B, 3, Np, k), jnp.float32),
-        ],
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(scal, chunk_ids, p_t, p_t, ids)
+    )(*ins)
 
     inv = jnp.argsort(perm[:, :N], axis=-1).astype(jnp.int32)
+    if n_tail:
+        fused = jnp.swapaxes(outs[0], 1, 2)[:, :N]  # sorted order
+        return jnp.take_along_axis(fused, inv[..., None], axis=1)
     idx = jnp.take_along_axis(outs[0][:, :N], inv[..., None], axis=1)
     r = jnp.transpose(outs[1][:, :, :N], (0, 2, 3, 1))
     resi = jnp.take_along_axis(r, inv[..., None, None], axis=1)

@@ -654,6 +654,98 @@ class TestFusedFusionTail:
             np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
         )
 
+    def test_cells_oneshot_kernel_parity(self, rng):
+        """knn_fusion_cells in one-shot tail mode (+payload) vs its own
+        two-step output (idx/resi + XLA tail + payload gather) —
+        identical extraction, so only the softmax accumulation path
+        differs."""
+        from pci_tpu import ops
+        from pci_tpu.nn.fusion import _safe_norm
+        from pci_tpu.nn.mlp import PointMLP
+        from pci_tpu.ops.pallas_kernels import knn_fusion_cells
+        from pci_tpu.ops.pallas_kernels.setconv_tpu import fold_bn_layers
+
+        B, N, k, cp = 1, 512, 8, 2
+        combined = cloud(rng, B, N, scale=3.0)
+        payload = jnp.asarray(
+            rng.standard_normal((B, N, cp)).astype(np.float32))
+        split = jnp.asarray([256], jnp.int32)
+        k1 = jnp.asarray([5], jnp.int32)
+        kw = dict(chunk=128, m_chunks=4, bucket=2, winners=2, tile=128)
+
+        idx, resi = knn_fusion_cells(
+            combined, split, k1, k, emit_idx=True, interpret=True, **kw)
+        nfs = ops.index_points(payload, idx)
+        mlp = PointMLP((16, 24), norm="batch")
+        feats = jnp.concatenate([resi, _safe_norm(resi)], axis=-1)
+        v = mlp.init(jax.random.key(0), feats, train=False)
+        h = mlp.apply(v, feats, train=False)
+        w = jax.nn.softmax(jnp.max(h, axis=-1), axis=-1)[..., None]
+        ref = jnp.concatenate(
+            [combined + jnp.sum(w * resi, axis=2),
+             jnp.sum(w * nfs, axis=2)], axis=-1,
+        )
+
+        p, st = v["params"], v["batch_stats"]
+        layers = fold_bn_layers(
+            [p[f"Dense_{i}"] for i in range(2)],
+            [p[f"BatchNorm_{i}"] for i in range(2)],
+            [st[f"BatchNorm_{i}"] for i in range(2)],
+        )
+        got = knn_fusion_cells(
+            combined, split, k1, k, interpret=True,
+            tail_layers=layers, payload=payload, **kw)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4
+        )
+
+    def test_pointsfusion_cells_oneshot_route(self, monkeypatch):
+        """PointsFusion wiring through the CELLS one-shot kernel (the
+        >=32k eval route, forced on at N=512) vs the cells 2-step route
+        (grad wrapper resi + XLA tail) — same extraction config."""
+        import pci_tpu.nn as pnn_mod
+        from pci_tpu.nn import fusion as fusion_mod
+        from pci_tpu.ops.pallas_kernels import fusion_cells_tpu as fc
+
+        rng = np.random.default_rng(8)
+        fusion = pnn_mod.PointsFusion((16, 24), sampling="random")
+        p1 = cloud(rng, 1, 512, scale=3.0)
+        p2 = p1 + 0.03 * jnp.asarray(
+            rng.standard_normal((1, 512, 3)).astype(np.float32)
+        )
+        t = jnp.asarray([0.4], jnp.float32)
+        rngs = {"sample": jax.random.key(3)}
+        vars_ = fusion.init(
+            {"params": jax.random.key(0), **rngs}, p1, p2, 8, t, train=False
+        )
+        monkeypatch.setattr(
+            fusion_mod, "_cells_route_ok", lambda *a, **k: True
+        )
+        # the 2-step path's grad wrapper runs the kernel un-interpreted
+        # (interpret rides POSITIONALLY there); force interpret for CPU
+        orig = fc.knn_fusion_cells
+
+        def patched(*a, **k):
+            a = list(a)
+            if len(a) > 10:
+                a[10] = True
+            else:
+                k["interpret"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(fc, "knn_fusion_cells", patched)
+        monkeypatch.setattr(
+            fusion_mod, "_fusion_oneshot_ok", lambda train: False
+        )
+        ref = fusion.apply(vars_, p1, p2, 8, t, train=False, rngs=rngs)
+        monkeypatch.setattr(
+            fusion_mod, "_fusion_oneshot_ok", lambda train: not train
+        )
+        got = fusion.apply(vars_, p1, p2, 8, t, train=False, rngs=rngs)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
     def test_pointsfusion_with_features_oneshot_route(self, monkeypatch):
         """PointsFusionWithFeatures (intensity) through the one-shot
         payload kernel vs the two-kernel route (idx kernel + payload
