@@ -6,10 +6,10 @@
 #   bash benchmarks/r4_tpu_sweep.sh [stage...]   # default: all stages
 #
 # Stages: probes tests ab table6 cells64k bwdab serving train emd
-#         flownet isapci decodeab resiab fusionw attnab bench
+#         flownet isapci decodeab resiab fusionw permab attnab bench
 set -x
 cd "$(dirname "$0")/.."
-STAGES="${@:-probes tests ab table6 cells64k bwdab serving train emd flownet isapci decodeab resiab fusionw attnab bench}"
+STAGES="${@:-probes tests ab table6 cells64k bwdab serving train emd flownet isapci decodeab resiab fusionw permab attnab bench}"
 LOG=results/logs/r4_sweep_$(date +%m%d_%H%M)
 mkdir -p "$LOG"
 
@@ -36,6 +36,7 @@ for s in $STAGES; do case $s in
   decodeab) run decodeab 2400 env PCI_TPU_BATCH_DECODE=1 python -m benchmarks.profile_models ;;
   resiab)   run resiab 2400 env PCI_TPU_TR_RESI=kernel python -m benchmarks.profile_isapci --policy bfloat16 ;;
   fusionw)  run fusionw 1800 env PCI_TPU_FUSION_BUCKET=64 PCI_TPU_FUSION_WINNERS=2 python bench.py ;;
+  permab)   run permab 1800 env PCI_TPU_FUSION_PERM=hash python bench.py ;;
   attnab)   run attnab 2400 env PCI_TPU_FUSED_ATTN_TRAIN=0 python -m benchmarks.bench_train ;;
   bench)    run bench 1800 python bench.py ;;
 esac; done

@@ -106,6 +106,35 @@ _ALIGN = int(os.environ.get("PCI_TPU_FUSION_BUCKET", "32"))
 _FUSION_WINNERS = int(os.environ.get("PCI_TPU_FUSION_WINNERS", "1"))
 
 
+def _random_perms(key, B, N):
+    """Per-batch random permutations ``[B, N]`` for the fusion shuffle.
+
+    Default = ``jax.random.permutation`` (a key sort — exact uniform
+    shuffle, the reference's ``torch.randperm`` analog).  Env
+    ``PCI_TPU_FUSION_PERM=hash`` + power-of-two N switches to a SORT-
+    FREE bijective hash (odd-multiply mod 2^b, xor-rshift, add — each
+    step is a bijection on [0, 2^b)): the subset selection only needs a
+    well-spread random bijection, not an exactly uniform shuffle, and
+    the two 16k key sorts per fusion call are pure elementwise math
+    here.  The bench accuracy gate guards the CD impact."""
+    if (os.environ.get("PCI_TPU_FUSION_PERM") == "hash"
+            and N & (N - 1) == 0 and N >= 4):
+        bits = N.bit_length() - 1
+        c = jax.random.randint(
+            key, (B, 6), 0, jnp.int32(2**31 - 1), dtype=jnp.int32)
+        x = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+        mask = N - 1
+        for j in range(3):
+            mult = (c[:, 2 * j] | 1)[:, None]  # odd => bijective mod 2^b
+            x = (x * mult) & mask
+            x = x ^ (x >> max(bits // 2, 1))
+            x = (x + c[:, 2 * j + 1][:, None]) & mask
+        return x
+    return jax.vmap(lambda kk: jax.random.permutation(kk, N))(
+        jax.random.split(key, B)
+    )
+
+
 def _adaptive_budgets(N, k, t):
     """(N1, N2, k1, k2) with N2 aligned; guarantees N_i >= _ALIGN whenever
     k_i > 0 so budgeted slots always hold real neighbors."""
@@ -317,13 +346,7 @@ class PointsFusion(nn.Module):
         if self.sampling == "random":
             key = self.make_rng("sample")
             k_1, k_2 = jax.random.split(key)
-            perm1 = jax.vmap(lambda kk: jax.random.permutation(kk, N))(
-                jax.random.split(k_1, B)
-            )
-            perm2 = jax.vmap(lambda kk: jax.random.permutation(kk, N))(
-                jax.random.split(k_2, B)
-            )
-            return perm1, perm2
+            return _random_perms(k_1, B, N), _random_perms(k_2, B, N)
         if self.sampling == "fps":
             from .layers import fps_start
 
@@ -431,12 +454,8 @@ class PointsFusionWithFeatures(nn.Module):
 
         key = self.make_rng("sample")
         k_1, k_2 = jax.random.split(key)
-        perm1 = jax.vmap(lambda kk: jax.random.permutation(kk, N))(
-            jax.random.split(k_1, B)
-        )
-        perm2 = jax.vmap(lambda kk: jax.random.permutation(kk, N))(
-            jax.random.split(k_2, B)
-        )
+        perm1 = _random_perms(k_1, B, N)
+        perm2 = _random_perms(k_2, B, N)
         combined, gidx = _composed_shuffle_merge(
             [points1, points2], [perm1, perm2], jnp.stack([N1, N2], axis=1)
         )
@@ -534,12 +553,7 @@ class PointsFusionMulti(nn.Module):
 
         key = self.make_rng("sample")
         keys = jax.random.split(key, F)
-        perms = [
-            jax.vmap(lambda kk: jax.random.permutation(kk, N))(
-                jax.random.split(keys[j], B)
-            )
-            for j in range(F)
-        ]
+        perms = [_random_perms(keys[j], B, N) for j in range(F)]
         combined, _ = _composed_shuffle_merge(points_list, perms, n_all)
 
         if _cells_route_ok(points_list[0], k, train, n_seg=len(points_list)):

@@ -654,6 +654,25 @@ class TestFusedFusionTail:
             np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
         )
 
+    def test_hash_perm_is_bijection(self, monkeypatch):
+        """PCI_TPU_FUSION_PERM=hash: the sort-free permutation must be a
+        true bijection on [0, N) per batch row, and differ across rows
+        and keys."""
+        from pci_tpu.nn.fusion import _random_perms
+
+        monkeypatch.setenv("PCI_TPU_FUSION_PERM", "hash")
+        B, N = 4, 1024
+        p = np.asarray(_random_perms(jax.random.key(0), B, N))
+        for b in range(B):
+            assert (np.sort(p[b]) == np.arange(N)).all()
+        assert not (p[0] == p[1]).all()
+        q = np.asarray(_random_perms(jax.random.key(1), B, N))
+        assert not (p[0] == q[0]).all()
+        # non-power-of-two N falls back to the exact shuffle
+        r = np.asarray(_random_perms(jax.random.key(0), 2, 1000))
+        for b in range(2):
+            assert (np.sort(r[b]) == np.arange(1000)).all()
+
     def test_cells_oneshot_kernel_parity(self, rng):
         """knn_fusion_cells in one-shot tail mode (+payload) vs its own
         two-step output (idx/resi + XLA tail + payload gather) —
