@@ -315,17 +315,18 @@ def main():
 if __name__ == "__main__":
     try:
         main()
-    except SystemExit:
-        raise
+    except (SystemExit, KeyboardInterrupt):
+        raise  # an operator Ctrl-C must NOT spawn the ~30-min retry
     except BaseException as e:  # noqa: BLE001 — driver wants one JSON line
         if _WATCHDOG is not None:
             _WATCHDOG.cancel()  # the retry below is bounded by its own
-        if os.environ.get("PCI_TPU_BENCH_CONSERVATIVE") != "1":
+        if (isinstance(e, Exception)
+                and os.environ.get("PCI_TPU_BENCH_CONSERVATIVE") != "1"):
             try:
                 _retry_conservative(f"{type(e).__name__}: {e}")
-            except SystemExit:
+            except (SystemExit, KeyboardInterrupt):
                 raise
-            except BaseException:  # noqa: BLE001
+            except Exception:  # noqa: BLE001
                 pass
         _emit_error(type(e).__name__, str(e))
         sys.exit(1)

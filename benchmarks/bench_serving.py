@@ -71,7 +71,6 @@ def main():
             [p1 + 0.01 * i for i in range(B)], axis=0)
         pb = jnp.concatenate(
             [p2 + 0.01 * i for i in range(B)], axis=0)
-        z = jnp.zeros_like(pa)
         t = jnp.asarray([0.3 + 0.05 * i for i in range(B)], jnp.float32)
 
         ms = slope(

@@ -240,6 +240,18 @@ def _fusion_tail_ok(train: bool) -> bool:
     return jax.default_backend() == "tpu" and not train
 
 
+def _fold_fusion_mlp(module, mlp):
+    """Materialized + folded score-MLP layers for a fused tail route.
+
+    The dummy PointMLP call keeps the param tree identical to the XLA
+    route (same "PointMLP_0" name) regardless of which branch runs."""
+    from .layers import _fold_pointmlp
+
+    dummy = jnp.zeros((1, 4), policy.compute_dtype())
+    _ = PointMLP(mlp, norm="batch")(dummy, train=False)
+    return _fold_pointmlp(module, "PointMLP_0", len(mlp))
+
+
 def _fusion_oneshot_ok(train: bool) -> bool:
     """Route kNN + attention head to the ONE-SHOT kernel
     (fusion_knn_tpu.knn_fusion_attention: online softmax inside the
@@ -258,16 +270,12 @@ def _apply_fusion_tail(module, mlp, combined, resi, extra, train,
 
     Returns ``[B, N, 3 + Ce]`` fused rows (Ce = extra channels or 0)."""
     if _fusion_tail_ok(train):
-        from .layers import _fold_pointmlp
         from ..ops.pallas_kernels.fusion_tail_tpu import (
             fusion_attention_tail,
         )
 
-        dummy = jnp.zeros((1, 4), policy.compute_dtype())
-        _ = PointMLP(mlp, norm="batch")(dummy, train=False)
-        layers = _fold_pointmlp(module, "PointMLP_0", len(mlp))
         return fusion_attention_tail(
-            combined, resi, extra, layers, len(mlp)
+            combined, resi, extra, _fold_fusion_mlp(module, mlp), len(mlp)
         )
     feats = jnp.concatenate([resi, _safe_norm(resi)], axis=-1)
     h = PointMLP(mlp, norm="batch")(feats, train=train, momentum=momentum)
@@ -377,15 +385,11 @@ class PointsFusion(nn.Module):
         if _cells_route_ok(points1, k, train):
             if _fusion_oneshot_ok(train):
                 from ..ops.pallas_kernels import knn_fusion_cells
-                from .layers import _fold_pointmlp
 
-                dummy = jnp.zeros((1, 4), policy.compute_dtype())
-                _ = PointMLP(self.mlp, norm="batch")(dummy, train=False)
-                layers = _fold_pointmlp(self, "PointMLP_0", len(self.mlp))
                 return knn_fusion_cells(
                     combined, N1, k1, k,
                     interpret=jax.default_backend() != "tpu",
-                    tail_layers=layers,
+                    tail_layers=_fold_fusion_mlp(self, self.mlp),
                 )
             resi = _cells_fusion_knn(
                 combined,
@@ -400,16 +404,12 @@ class PointsFusion(nn.Module):
 
             if _fusion_oneshot_ok(train):
                 # kNN + attention head in ONE kernel (online softmax)
-                from .layers import _fold_pointmlp
-
-                dummy = jnp.zeros((1, 4), policy.compute_dtype())
-                _ = PointMLP(self.mlp, norm="batch")(dummy, train=False)
-                layers = _fold_pointmlp(self, "PointMLP_0", len(self.mlp))
                 seg_ends = jnp.stack(
                     [N1, jnp.full_like(N1, N)], axis=1)
                 budgets = jnp.stack([k1, k2], axis=1)
                 return knn_fusion_attention(
-                    combined, seg_ends, budgets, layers, k, _ALIGN,
+                    combined, seg_ends, budgets,
+                    _fold_fusion_mlp(self, self.mlp), k, _ALIGN,
                     _FUSION_WINNERS,
                     interpret=jax.default_backend() != "tpu",
                 )
@@ -466,15 +466,12 @@ class PointsFusionWithFeatures(nn.Module):
         if _cells_route_ok(points1, k, train):
             if _fusion_oneshot_ok(train):
                 from ..ops.pallas_kernels import knn_fusion_cells
-                from .layers import _fold_pointmlp
 
-                dummy = jnp.zeros((1, 4), policy.compute_dtype())
-                _ = PointMLP(self.mlp, norm="batch")(dummy, train=False)
-                layers = _fold_pointmlp(self, "PointMLP_0", len(self.mlp))
                 return knn_fusion_cells(
                     combined, N1, k1, k,
                     interpret=jax.default_backend() != "tpu",
-                    tail_layers=layers, payload=combined_feats,
+                    tail_layers=_fold_fusion_mlp(self, self.mlp),
+                    payload=combined_feats,
                 )
             idx, resi = _cells_fusion_knn(
                 combined,
@@ -490,15 +487,11 @@ class PointsFusionWithFeatures(nn.Module):
 
             if _fusion_oneshot_ok(train):
                 # kNN + attention head + payload reduce in ONE kernel
-                from .layers import _fold_pointmlp
-
-                dummy = jnp.zeros((1, 4), policy.compute_dtype())
-                _ = PointMLP(self.mlp, norm="batch")(dummy, train=False)
-                layers = _fold_pointmlp(self, "PointMLP_0", len(self.mlp))
                 seg_ends = jnp.stack([N1, jnp.full_like(N1, N)], axis=1)
                 budgets = jnp.stack([k1, k2], axis=1)
                 return knn_fusion_attention(
-                    combined, seg_ends, budgets, layers, k, _ALIGN,
+                    combined, seg_ends, budgets,
+                    _fold_fusion_mlp(self, self.mlp), k, _ALIGN,
                     _FUSION_WINNERS,
                     interpret=jax.default_backend() != "tpu",
                     payload=combined_feats,

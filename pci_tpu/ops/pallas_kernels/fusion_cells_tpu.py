@@ -199,33 +199,23 @@ def _fusion_cells_kernel(scal_ref, chunks_ref, qt_ref, p_ref, ids_ref,
         return keys, oi_a, rx_a, ry_a, rz_a
 
     def extract_fused(jj, carry):
-        """One-shot mode: online softmax (fusion_knn_tpu recipe);
-        exhausted rounds contribute zero residual + the query's OWN
-        payload (self-neighbor convention)."""
+        """One-shot mode (fusion_knn_tpu.online_softmax_step); exhausted
+        rounds contribute zero residual + the query's OWN payload
+        (self-neighbor convention — queries share the key sort, so the
+        query tile's payload IS a pay_ref slice)."""
+        from .fusion_knn_tpu import online_softmax_step
+
         keys, sm, sw, ax, ay, az, *ap = carry
         keys, valid, sel, rx, ry, rz = _winner_resi(keys)
-        nrm = jnp.sqrt(rx * rx + ry * ry + rz * rz + 1e-12)  # _safe_norm
-        h = jnp.concatenate(
-            [rx[None, :], ry[None, :], rz[None, :], nrm[None, :]], axis=0
-        )
-        for t_ in range(n_tail):
-            h = lax.dot_general(
-                wtail[2 * t_][...], h, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + wtail[2 * t_ + 1][...]
-            h = jnp.maximum(h, 0.0)
-        s = jnp.max(h, axis=0)
-        m2 = jnp.maximum(sm, s)
-        f = jnp.exp(sm - m2)
-        w = jnp.exp(s - m2)
-        ap2 = []
+        pay_vals = []
         for ch in range(n_pay):
             pv = jnp.sum(jnp.where(
                 sel, cand_p[pl.ds(ch * nb_rows, nb_rows), :], 0.0), axis=0)
-            pv = jnp.where(valid, pv, pay_ref[0, ch, pl.ds(it * tq, tq)])
-            ap2.append(ap[ch] * f + w * pv)
-        return (keys, m2, sw * f + w, ax * f + w * rx, ay * f + w * ry,
-                az * f + w * rz, *ap2)
+            pay_vals.append(jnp.where(
+                valid, pv, pay_ref[0, ch, pl.ds(it * tq, tq)]))
+        sm, sw, ax, ay, az, ap = online_softmax_step(
+            wtail, n_tail, rx, ry, rz, sm, sw, ax, ay, az, ap, pay_vals)
+        return (keys, sm, sw, ax, ay, az, *ap)
 
     k1 = scal_ref[b * 2]
     if n_tail:

@@ -62,6 +62,34 @@ _BIG = 1e30
 _IMAX = jnp.iinfo(jnp.int32).max
 
 
+def online_softmax_step(wtail, n_tail, rx, ry, rz, sm, sw, ax, ay, az,
+                        ap, pay_vals):
+    """One flash-softmax fusion round, shared by the flat and cells
+    one-shot kernels: score = channel-max of the folded MLP over
+    ``[resi | safe-norm]`` (reference tail math, Utils/Layers.py:264-283),
+    then rescale the running (max, weight-sum, weighted-resi, weighted-
+    payload) accumulators.  ``pay_vals``: this round's per-channel
+    payload values — the CALLER applies the exhausted-round
+    self-neighbor fallback (query's own payload)."""
+    f32 = jnp.float32
+    nrm = jnp.sqrt(rx * rx + ry * ry + rz * rz + 1e-12)  # _safe_norm
+    h = jnp.concatenate(
+        [rx[None, :], ry[None, :], rz[None, :], nrm[None, :]], axis=0
+    )  # [4, TQ]
+    for t_ in range(n_tail):
+        h = lax.dot_general(
+            wtail[2 * t_][...], h, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) + wtail[2 * t_ + 1][...]
+        h = jnp.maximum(h, 0.0)
+    s = jnp.max(h, axis=0)  # slot score (channel max-pool)
+    m2 = jnp.maximum(sm, s)
+    f = jnp.exp(sm - m2)
+    w = jnp.exp(s - m2)
+    return (m2, sw * f + w, ax * f + w * rx, ay * f + w * ry,
+            az * f + w * rz, [a * f + w * p for a, p in zip(ap, pay_vals)])
+
+
 def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
                        emit_idx, winners=1, n_tail=0, n_pay=0):
     """Grid: (B, S // TQ).
@@ -240,36 +268,19 @@ def _fusion_knn_kernel(scal_ref, q_ref, p_ref, *refs, k, n, l, nseg, emit_d,
         return keys, od_a, oi_a, rx_a, ry_a, rz_a
 
     def extract_fused(jj, carry):
-        """One-shot mode: score this round's residual with the folded
-        MLP and fold it into the ONLINE softmax accumulators (flash
-        recipe: running max sm, rescaled weight sum sw, weighted
-        residual accumulators ax/ay/az, weighted payload accumulators
-        ap).  An exhausted round contributes the query's OWN payload
-        (the self-neighbor convention — XLA gathers idx=qpos there)."""
+        """One-shot mode (online_softmax_step).  An exhausted round
+        contributes the query's OWN payload (the self-neighbor
+        convention — XLA gathers idx=qpos there)."""
         keys, sm, sw, ax, ay, az, *ap = carry
         keys, valid, sel, rx, ry, rz = _winner_resi(keys)
-        nrm = jnp.sqrt(rx * rx + ry * ry + rz * rz + 1e-12)  # _safe_norm
-        h = jnp.concatenate(
-            [rx[None, :], ry[None, :], rz[None, :], nrm[None, :]], axis=0
-        )  # [4, TQ]
-        for t_ in range(n_tail):
-            h = lax.dot_general(
-                wtail[2 * t_][...], h, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + wtail[2 * t_ + 1][...]
-            h = jnp.maximum(h, 0.0)
-        s = jnp.max(h, axis=0)  # [TQ] slot score (channel max-pool)
-        m2 = jnp.maximum(sm, s)
-        f = jnp.exp(sm - m2)
-        w = jnp.exp(s - m2)
-        ap2 = []
+        pay_vals = []
         for ch in range(n_pay):
             pv = jnp.sum(jnp.where(
                 sel, cand_p[pl.ds(ch * nb_rows, nb_rows), :], 0.0), axis=0)
-            pv = jnp.where(valid, pv, qpay_ref[0, ch, :])
-            ap2.append(ap[ch] * f + w * pv)
-        return (keys, m2, sw * f + w, ax * f + w * rx, ay * f + w * ry,
-                az * f + w * rz, *ap2)
+            pay_vals.append(jnp.where(valid, pv, qpay_ref[0, ch, :]))
+        sm, sw, ax, ay, az, ap = online_softmax_step(
+            wtail, n_tail, rx, ry, rz, sm, sw, ax, ay, az, ap, pay_vals)
+        return (keys, sm, sw, ax, ay, az, *ap)
 
     # F extraction phases: segment j gets budget_j rounds on its own row
     # range, writing output slots [kcum_j, kcum_{j+1}) — dynamic trip
