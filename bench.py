@@ -106,16 +106,36 @@ def _arm_watchdog(seconds):
     return t
 
 
-# Kill switches for every kernel route first exercised on-chip this round
-# (they have interpreter parity tests but no Mosaic-lowering run yet: the
-# chip was wedged).  If the default bench CRASHES (e.g. a lowering
-# rejection), one conservative retry with these off still produces a real
-# fps number for the driver instead of an error line.
+# Kill switches for every kernel route that has interpreter parity tests
+# but no measured on-chip run.  DEFAULT POLICY (VERDICT r4 item 3): the
+# bench runs the last MEASURED-GOOD configuration; unmeasured kernels are
+# only enabled through results/bench_routes.json, which the measurement
+# sweep writes after its A/B stages pass on real hardware.  The bench can
+# then never print 0.0 because of a kernel this repo chose but never ran.
 _CONSERVATIVE_ENV = {
     "PCI_TPU_MID_KERNEL": "0",
     "PCI_TPU_ENC_KERNEL": "0",
     "PCI_TPU_FUSION_ONESHOT": "0",
 }
+
+_ROUTES_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "results", "bench_routes.json"
+)
+
+
+def _apply_routing():
+    """Set kernel-route env defaults (explicit env always wins): from
+    results/bench_routes.json if the sweep has measured winners, else the
+    conservative last-measured-good (r3) routes."""
+    if os.path.exists(_ROUTES_FILE):
+        with open(_ROUTES_FILE) as f:
+            routes = json.load(f)
+        for k, v in routes.get("env", {}).items():
+            os.environ.setdefault(k, str(v))
+        return routes.get("name", "measured (bench_routes.json)")
+    for k, v in _CONSERVATIVE_ENV.items():
+        os.environ.setdefault(k, v)
+    return "conservative r3 routes (no bench_routes.json)"
 
 
 def _retry_conservative(reason):
@@ -220,6 +240,8 @@ def main():
     watchdog = _arm_watchdog(
         float(os.environ.get("PCI_TPU_BENCH_WATCHDOG", "1800")))
 
+    config_name = _apply_routing()  # before any pci_tpu import
+
     import jax
     import jax.numpy as jnp
 
@@ -304,6 +326,7 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 3),
+        "config": config_name,
     }
     if cd_val is not None:
         record["cd_val"] = round(cd_val, 4)
