@@ -1,0 +1,57 @@
+#!/bin/bash
+# Round-5 TPU measurement sweep.  Run serially (one chip).  Every stage is
+# bounded: the r3 sweep wedged the axon worker mid-profile, so tiny probes
+# gate every heavier stage and each stage has a hard timeout.  If the
+# probes stage fails, the bisection protocol (probe_kernels --bisect, one
+# kernel per bounded subprocess) runs automatically so a wedge NAMES its
+# trigger (VERDICT r4 item 4) before the sweep gives up.
+#
+#   bash benchmarks/r5_tpu_sweep.sh [stage...]   # default: all stages
+#
+# Stages: probes tests ab table6 cells64k bwdab serving train emd
+#         flownet isapci decodeab resiab fusionw permab attnab bench
+#         benchnew
+set -x
+cd "$(dirname "$0")/.."
+STAGES="${@:-probes tests ab table6 cells64k bwdab serving train emd flownet isapci decodeab resiab fusionw permab attnab bench benchnew}"
+LOG=results/logs/r5_sweep_$(date +%m%d_%H%M)
+mkdir -p "$LOG"
+
+run() { # run <name> <timeout> <cmd...>
+  local name=$1 to=$2; shift 2
+  timeout "$to" "$@" 2>&1 | tee "$LOG/$name.log" | tail -20
+  local rc=${PIPESTATUS[0]}
+  echo "stage $name rc=$rc" | tee -a "$LOG/summary.txt"
+  return $rc
+}
+
+# r4 kernel routes under A/B this round (bench.py defaults them OFF until
+# results/bench_routes.json records a measured win)
+NEWK="PCI_TPU_MID_KERNEL=1 PCI_TPU_ENC_KERNEL=1 PCI_TPU_FUSION_ONESHOT=1"
+
+for s in $STAGES; do case $s in
+  probes)
+    if ! run probes 1200 python benchmarks/probe_kernels.py; then
+      # name the trigger: one probe per bounded subprocess
+      run bisect 7200 python benchmarks/probe_kernels.py --bisect --timeout 600
+      exit 1
+    fi ;;
+  tests)    run tests 2400 env PCI_TPU_TESTS=1 python -m pytest tests/test_pallas_tpu.py -x -q ;;
+  ab)       run ab 2400 python -m benchmarks.r4_ab_kernels --sections flownet pointinet fusionab ;;
+  table6)   run table6 3600 python -m benchmarks.profile_models --table6 ;;
+  cells64k) run cells64k 3600 python -m benchmarks.r4_ab_kernels --sections cells64k ;;
+  bwdab)    run bwdab 1800 python -m benchmarks.r4_ab_kernels --sections bwdab ;;
+  serving)  run serving 2400 python -m benchmarks.bench_serving ;;
+  train)    run train 2400 python -m benchmarks.bench_train ;;
+  emd)      run emd 2400 python -m benchmarks.bench_emd --sizes 16384 --eps 1e-3 ;;
+  flownet)  run flownet 2400 python -m benchmarks.profile_flownet ;;
+  isapci)   run isapci 2400 python -m benchmarks.profile_isapci --policy bfloat16 ;;
+  decodeab) run decodeab 2400 env PCI_TPU_BATCH_DECODE=1 python -m benchmarks.profile_models ;;
+  resiab)   run resiab 2400 env PCI_TPU_TR_RESI=kernel python -m benchmarks.profile_isapci --policy bfloat16 ;;
+  fusionw)  run fusionw 1800 env $NEWK PCI_TPU_FUSION_BUCKET=64 PCI_TPU_FUSION_WINNERS=2 python bench.py ;;
+  permab)   run permab 1800 env $NEWK PCI_TPU_FUSION_PERM=hash python bench.py ;;
+  attnab)   run attnab 2400 env PCI_TPU_FUSED_ATTN_TRAIN=0 python -m benchmarks.bench_train ;;
+  bench)    run bench 1800 python bench.py ;;                 # conservative default
+  benchnew) run benchnew 1800 env $NEWK python bench.py ;;    # r4 kernels A/B
+esac; done
+echo "sweep done; logs in $LOG"
