@@ -39,13 +39,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def probe(label, fn):
+    """Returns True on success.  Failures (e.g. a Mosaic lowering
+    rejection after a toolchain move — r5 saw float-iota verification
+    errors on kernels that ran green in r3) are NAMED and non-fatal: a
+    crashing probe process is itself a wedge trigger candidate, and one
+    broken kernel must not mask the rest of the measurement program."""
     print(f"probe START {label}", flush=True)
     t0 = time.perf_counter()
-    out = fn()
-    val = float(np.asarray(out).astype(np.float64).sum())
+    try:
+        out = fn()
+        val = float(np.asarray(out).astype(np.float64).sum())
+        assert np.isfinite(val), (label, val)
+    except Exception as e:  # noqa: BLE001 — hangs are the fatal mode here
+        dt = time.perf_counter() - t0
+        msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+        print(f"probe FAIL  {label:40s} ({dt:6.1f} s): {msg}", flush=True)
+        return False
     dt = time.perf_counter() - t0
-    assert np.isfinite(val), (label, val)
     print(f"probe OK    {label:40s} (compile+run {dt:6.1f} s)", flush=True)
+    return True
 
 
 def build_probes(interpret=False):
@@ -254,8 +266,10 @@ def main(interpret=False, only=None):
             print(f"no probe named {only!r}", file=sys.stderr)
             sys.exit(2)
     print("devices:", jax.devices(), flush=True)
-    for label, fn in probes:
-        probe(label, fn)
+    failed = [label for label, fn in probes if not probe(label, fn)]
+    if failed:
+        print(f"{len(failed)} PROBES FAILED: {failed}", flush=True)
+        sys.exit(1)
     print("ALL PROBES OK", flush=True)
 
 

@@ -17,9 +17,29 @@ STAGES="${@:-probes tests ab table6 cells64k bwdab serving train emd flownet isa
 LOG=results/logs/r5_sweep_$(date +%m%d_%H%M)
 mkdir -p "$LOG"
 
+health() { # bounded health probe; rc 0 = chip answers a value fetch
+  timeout 240 python -u -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((128,128)); print('OK', float((x@x).sum()))
+" >/dev/null 2>&1
+}
+
+gate() { # wait (up to ~45 min) for the worker to self-heal before a stage
+  for i in $(seq 1 15); do
+    health && return 0
+    echo "gate: chip wedged, waiting ($i/15)" | tee -a "$LOG/summary.txt"
+    sleep 180
+  done
+  echo "gate: chip still wedged after 45 min" | tee -a "$LOG/summary.txt"
+  return 1
+}
+
 run() { # run <name> <timeout> <cmd...>
   local name=$1 to=$2; shift 2
-  timeout "$to" "$@" 2>&1 | tee "$LOG/$name.log" | tail -20
+  # SIGINT first so a timed-out python unwinds (destructors run — an
+  # uncleanly killed client is the prime wedge-trigger suspect, r5)
+  timeout --signal=INT --kill-after=30 "$to" "$@" 2>&1 \
+    | tee "$LOG/$name.log" | tail -20
   local rc=${PIPESTATUS[0]}
   echo "stage $name rc=$rc" | tee -a "$LOG/summary.txt"
   return $rc
@@ -29,10 +49,15 @@ run() { # run <name> <timeout> <cmd...>
 # results/bench_routes.json records a measured win)
 NEWK="PCI_TPU_MID_KERNEL=1 PCI_TPU_ENC_KERNEL=1 PCI_TPU_FUSION_ONESHOT=1"
 
-for s in $STAGES; do case $s in
+for s in $STAGES; do
+gate || { echo "abort: chip never healed before stage $s" | tee -a "$LOG/summary.txt"; exit 1; }
+case $s in
   probes)
-    if ! run probes 1200 python benchmarks/probe_kernels.py; then
-      # name the trigger: one probe per bounded subprocess
+    run probes 1200 python benchmarks/probe_kernels.py
+    rc=$?
+    if [ $rc -eq 124 ] || [ $rc -eq 137 ]; then
+      # HANG (not a named FAIL): bisect to name the trigger
+      gate
       run bisect 7200 python benchmarks/probe_kernels.py --bisect --timeout 600
       exit 1
     fi ;;

@@ -16,7 +16,7 @@ x = jnp.ones((128,128)); print('OK', float((x@x).sum()), d[0].platform)
       echo "$ts TPU RECOVERED: $out" >> /tmp/tpu_watch.log
       touch /tmp/tpu_recovered
       cd /root/repo
-      nohup bash benchmarks/r5_tpu_sweep.sh > /tmp/r5_sweep.out 2>&1 &
+      nohup bash benchmarks/r5_chip_program.sh > /tmp/r5_sweep.out 2>&1 &
       echo $! > /tmp/r5_sweep.pid
       echo "$ts sweep launched pid $(cat /tmp/r5_sweep.pid)" >> /tmp/tpu_watch.log
       exit 0;;

@@ -70,7 +70,8 @@ def _ball_kernel(r2_ref, q_ref, p_ref, *out_refs, ks, n, early_exit):
         lax.broadcasted_iota(jnp.int32, (TK, TK), 0)
         >= lax.broadcasted_iota(jnp.int32, (TK, TK), 1)
     ).astype(f32)
-    loc = lax.broadcasted_iota(f32, (TK, 1), 0)  # in-tile key row id
+    # in-tile key row id (int iota + cast: Mosaic rejects float iota)
+    loc = lax.broadcasted_iota(jnp.int32, (TK, 1), 0).astype(f32)
 
     def init_scale(K):
         counts = jnp.zeros((1, TQ), f32)
@@ -98,7 +99,7 @@ def _ball_kernel(r2_ref, q_ref, p_ref, *out_refs, ks, n, early_exit):
                 preferred_element_type=f32,
             )
             slot = counts + incl - 1.0  # [TK, TQ], valid where mask
-            jj = lax.broadcasted_iota(f32, (K, 1, 1), 0)
+            jj = lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0).astype(f32)
             eq = (slot[None] == jj) & (mask[None] > 0.0)  # [K, TK, TQ]
             acc = acc + jnp.sum(
                 eq.astype(f32) * (gidx[None] - fn), axis=1
