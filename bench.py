@@ -116,6 +116,7 @@ _CONSERVATIVE_ENV = {
     "PCI_TPU_MID_KERNEL": "0",
     "PCI_TPU_ENC_KERNEL": "0",
     "PCI_TPU_FUSION_ONESHOT": "0",
+    "PCI_TPU_PN2_KERNEL": "0",
 }
 
 _ROUTES_FILE = os.path.join(
@@ -145,6 +146,9 @@ def _retry_conservative(reason):
         os.environ, PCI_TPU_BENCH_CONSERVATIVE="1",
         PCI_TPU_BENCH_SKIP_PROBE="1", **_CONSERVATIVE_ENV,
     )
+    # settle: the crashed parent's client just died; a quick reconnect
+    # can hang on the worker (r5 wedge_experiment findings)
+    time.sleep(float(os.environ.get("PCI_TPU_CLIENT_SETTLE", "60")))
     r = subprocess.run(
         [sys.executable, "-u", os.path.abspath(__file__)],
         capture_output=True, text=True, env=env,
@@ -233,6 +237,12 @@ def main():
                         f"rc={probes.get('rc')} hung_after={probes.get('hung_after')}",
                         probes)
             sys.exit(1)
+        # SETTLE before the main process connects: the axon worker
+        # poisons a client that connects within ~a minute of a previous
+        # SUCCESSFUL client's exit (measured r5, wedge_experiment.log —
+        # a 5 s reconnect hung forever, a 24 s one worked).  This gap is
+        # the likely cause of BENCH_r04's hang-after-probe.
+        time.sleep(float(os.environ.get("PCI_TPU_CLIENT_SETTLE", "60")))
 
     if os.environ.get("PCI_TPU_BENCH_SIMULATE_CRASH") == "1":
         raise RuntimeError("simulated bench crash (test hook)")

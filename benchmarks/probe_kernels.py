@@ -217,6 +217,34 @@ def build_probes(interpret=False):
         J(np.asarray([[8, 8]], np.int32)),
         (J(Wa_n), J(ba_n), J(Wb_n), J(bb_n)), 16, 32, 1, ip))
 
+    # r5: PointNet++ MSG mid-section megakernel (sa2..fp2, GroupNorm
+    # two-pass in VMEM) — tiny structural twin of the production config
+    from pci_tpu.ops.pallas_kernels.pn2mid_tpu import pn2mid_fused
+
+    def _pn2():
+        prng = np.random.default_rng(2)
+        l1x = J(prng.normal(size=(1, 256, 3)).astype(f32))
+        l1f = J(prng.normal(size=(1, 256, 16)).astype(f32))
+        mkg = lambda ci, co: (  # noqa: E731
+            J((prng.normal(size=(ci, co)) * 0.3).astype(f32)),
+            J(prng.normal(size=(3, co)).astype(f32)))
+        flat = sum([
+            mkg(19, 8), mkg(8, 8), mkg(8, 16),   # sa2 s0 (feats 16 + 3)
+            mkg(19, 8), mkg(8, 8), mkg(8, 16),   # sa2 s1 -> l2f 32
+            mkg(35, 8), mkg(8, 8), mkg(8, 16),   # sa3 s0 (32 + 3)
+            mkg(35, 8), mkg(8, 8), mkg(8, 16),   # sa3 s1 -> 32
+            mkg(35, 8), mkg(8, 8), mkg(8, 16),   # sa4 s0
+            mkg(35, 8), mkg(8, 8), mkg(8, 16),   # sa4 s1 -> 32
+            mkg(64, 16), mkg(16, 16),            # fp4 (skip 32 | interp 32)
+            mkg(48, 16), mkg(16, 16),            # fp3 (32 | 16)
+            mkg(32, 16), mkg(16, 8),             # fp2 (16 | 16)
+        ], ())
+        return pn2mid_fused(
+            l1x, l1f, flat, (64, 16, 8),
+            ((0.5, 1.0), (1.0, 2.0), (2.0, 4.0)),
+            ((4, 8), (4, 8), (4, 8)), ip)
+    add("pn2mid_fused megakernel", _pn2)
+
     from pci_tpu.ops.pallas_kernels.attention_tpu import (
         fused_vector_attention,
     )
@@ -315,6 +343,9 @@ def bisect(timeout_s, interpret=False):
         dt = time.perf_counter() - t0
         if r.returncode == 0:
             emit(f"OK      {label} ({dt:.1f}s)")
+            # settle: the worker poisons a client connecting within ~a
+            # minute of a successful client's exit (r5 wedge findings)
+            time.sleep(float(os.environ.get("PCI_TPU_CLIENT_SETTLE", "60")))
         else:
             tail = (r.stderr.strip() or r.stdout.strip()).splitlines()
             emit(f"FAIL    {label} rc={r.returncode} ({dt:.1f}s): "

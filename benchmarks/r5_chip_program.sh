@@ -21,7 +21,12 @@ x = jnp.ones((128,128)); print('OK', float((x@x).sum()))
 " >/dev/null 2>&1
 }
 gate() { # wait up to ~45 min for worker self-heal between stages
-  for i in $(seq 1 15); do health && return 0; echo "gate wait $i/15"; sleep 180; done
+  # on success, settle: a reconnect within ~a minute of a successful
+  # client's exit hangs forever (r5 wedge_experiment.log)
+  for i in $(seq 1 15); do
+    health && { sleep "${PCI_TPU_CLIENT_SETTLE:-60}"; return 0; }
+    echo "gate wait $i/15"; sleep 180
+  done
   return 1
 }
 

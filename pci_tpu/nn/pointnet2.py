@@ -11,9 +11,11 @@ Channel-concat orders preserved: MSG groups emit ``[feats, dxyz]``
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .. import ops
@@ -99,6 +101,18 @@ class FeaturePropagationP2(nn.Module):
         )
 
 
+def _pn2mid_ok(train: bool) -> bool:
+    """Route sa2..sa4 + fp4..fp2 (everything on <=1024 points) to the
+    single VMEM-resident megakernel (ops/pallas_kernels/pn2mid_tpu.py):
+    TPU, eval only.  Module-level so tests can monkeypatch it on (the
+    kernel runs in interpreter mode off-TPU)."""
+    return (
+        jax.default_backend() == "tpu"
+        and not train
+        and os.environ.get("PCI_TPU_PN2_KERNEL", "1") == "1"
+    )
+
+
 class Pointnet2FeatureAbstract(nn.Module):
     """Full PointNet++ MSG encoder-decoder over a flow cloud
     (Utils/Layers.py:498-528): 4 SA levels (1024/256/64/16 points, dual
@@ -117,15 +131,46 @@ class Pointnet2FeatureAbstract(nn.Module):
         sa4 = SetAbstractionMsg(16, [0.8, 1.6], [16, 32], [[256, 256, 512], [256, 384, 512]], name="sa4")
 
         l1_xyz, l1_f = sa1(xyz, None, **kw)
-        l2_xyz, l2_f = sa2(l1_xyz, l1_f, **kw)
-        l3_xyz, l3_f = sa3(l2_xyz, l2_f, **kw)
-        l4_xyz, l4_f = sa4(l3_xyz, l3_f, **kw)
+        if _pn2mid_ok(train) and not self.is_initializing():
+            l1_f = self._mid_fused(l1_xyz, l1_f)
+        else:
+            l2_xyz, l2_f = sa2(l1_xyz, l1_f, **kw)
+            l3_xyz, l3_f = sa3(l2_xyz, l2_f, **kw)
+            l4_xyz, l4_f = sa4(l3_xyz, l3_f, **kw)
 
-        l3_f = FeaturePropagationP2([256, 256], name="fp4")(l3_xyz, l4_xyz, l3_f, l4_f, **kw)
-        l2_f = FeaturePropagationP2([256, 256], name="fp3")(l2_xyz, l3_xyz, l2_f, l3_f, **kw)
-        l1_f = FeaturePropagationP2([256, 128], name="fp2")(l1_xyz, l2_xyz, l1_f, l2_f, **kw)
+            l3_f = FeaturePropagationP2([256, 256], name="fp4")(l3_xyz, l4_xyz, l3_f, l4_f, **kw)
+            l2_f = FeaturePropagationP2([256, 256], name="fp3")(l2_xyz, l3_xyz, l2_f, l3_f, **kw)
+            l1_f = FeaturePropagationP2([256, 128], name="fp2")(l1_xyz, l2_xyz, l1_f, l2_f, **kw)
         l0_f = FeaturePropagationP2([128, 128, 128], name="fp1")(xyz, l1_xyz, None, l1_f, **kw)
 
         h = dense(self.out_channels, name="conv1")(l0_f)
         h = group_norm(8)(h)
         return nn.relu(h)
+
+    def _mid_fused(self, l1_xyz, l1_f):
+        """Eval mid-section as ONE kernel (pn2mid_tpu): FPS centers
+        in-kernel, ball groups + GN MLPs + slot max + 3-NN interp all
+        VMEM-resident; only fp2's [B,1024,128] output leaves."""
+        from ..ops.pallas_kernels.pn2mid_tpu import (
+            gn_pointmlp_vars,
+            pn2mid_fused,
+        )
+
+        interpret = jax.default_backend() != "tpu"  # interpreter for tests
+        p = self.variables["params"]
+        flat = (
+            gn_pointmlp_vars(p["sa2"]["scale0"], 3)
+            + gn_pointmlp_vars(p["sa2"]["scale1"], 3)
+            + gn_pointmlp_vars(p["sa3"]["scale0"], 3)
+            + gn_pointmlp_vars(p["sa3"]["scale1"], 3)
+            + gn_pointmlp_vars(p["sa4"]["scale0"], 3)
+            + gn_pointmlp_vars(p["sa4"]["scale1"], 3)
+            + gn_pointmlp_vars(p["fp4"]["PointMLP_0"], 2)
+            + gn_pointmlp_vars(p["fp3"]["PointMLP_0"], 2)
+            + gn_pointmlp_vars(p["fp2"]["PointMLP_0"], 2)
+        )
+        return pn2mid_fused(
+            l1_xyz, l1_f, flat, (256, 64, 16),
+            ((0.2, 0.4), (0.4, 0.8), (0.8, 1.6)),
+            ((16, 32), (16, 32), (16, 32)), interpret,
+        )

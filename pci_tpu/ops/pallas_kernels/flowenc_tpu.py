@@ -143,16 +143,23 @@ def _flowenc_kernel(rows_ref, c1_ref, *refs,
     c2 = _fps_greedy(c1_ref[0], s2)  # [3, S2]
     c2_ref[0] = c2
 
-    # stage 2: centers2 over [centers1 | f_1], all VMEM-resident
-    rows2 = jnp.concatenate([c1_ref[0], f1_ref[0]], axis=0)  # [3+C1out, S1]
-    c2rows = rows2.shape[0]
-    row0_2 = rows2[:, 0][:, None]
+    # stage 2: centers2 over [centers1 | f_1], all VMEM-resident.  Tiles
+    # are read back through the REFS with pl.ds — lax.dynamic_slice on
+    # values is unimplemented in Mosaic (r5 probe: "Unimplemented
+    # primitive ... dynamic_slice"), ref indexing is the supported form.
+    c2rows = 3 + f1_ref.shape[1]
+    row0_2 = jnp.concatenate(
+        [c1_ref[0, :, 0:1], f1_ref[0, :, 0:1]], axis=0
+    )
 
     def stage2_tile(i, _):
-        q3 = lax.dynamic_slice_in_dim(c2, i * TQ, TQ, axis=1)
+        q3 = c2_ref[0, :, pl.ds(i * TQ, TQ)]
         ball_stage(
             q3,
-            lambda t: lax.dynamic_slice_in_dim(rows2, t * TK, TK, axis=1),
+            lambda t: jnp.concatenate(
+                [c1_ref[0, :, pl.ds(t * TK, TK)],
+                 f1_ref[0, :, pl.ds(t * TK, TK)]], axis=0,
+            ),
             s1 // TK, r2sq, k2, c2rows, l2, row0_2, f2_ref, i * TQ,
         )
         return 0

@@ -401,6 +401,25 @@ class TestPointnet2:
         assert out.shape == (1, N, 32)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_mid_fused_matches_xla(self, rng, monkeypatch):
+        """The sa2..fp2 megakernel (pn2mid_tpu, interpreter mode) vs the
+        pure-XLA eval path with the same params — exercises in-kernel
+        FPS, ball pad-with-first/empty-row-0, GroupNorm two-pass, slot
+        max, and 3-NN eps interpolation in one comparison."""
+        ffab = pnn.Pointnet2FeatureAbstract(32)
+        # scale ~1: the 0.2..1.6 radii then span sparse to dense
+        # neighborhoods, covering shortfall-pad AND full-budget paths
+        xyz = cloud(rng, 1, 1200, scale=1.0)
+        from pci_tpu.nn import pointnet2 as p2
+
+        vars_ = ffab.init(jax.random.key(0), xyz, train=False)
+        want = np.asarray(ffab.apply(vars_, xyz, train=False))
+        monkeypatch.setattr(p2, "_pn2mid_ok", lambda train: not train)
+        got = np.asarray(ffab.apply(vars_, xyz, train=False))
+        # kNN/ball boundary ties can swap under the kernel's VPU
+        # distances (XLA uses the HIGHEST-precision matmul form)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=3e-4)
+
 
 class TestFusedSetConv:
     def _fold(self, variables, n):
