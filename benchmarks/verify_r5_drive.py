@@ -24,8 +24,8 @@ d = "/root/reference/Demos/20230508test/demo_data/Inputs"
 import glob
 files = sorted(glob.glob(d + "/*.bin"))
 print("demo files:", [os.path.basename(f) for f in files[:4]])
-p1 = lidar.read_subsample(files[0], 16384, np.random.default_rng(0), dims=5)
-p2 = lidar.read_subsample(files[1], 16384, np.random.default_rng(1), dims=5)
+p1 = lidar.read_subsample(files[0], 5, 16384, np.random.default_rng(0))
+p2 = lidar.read_subsample(files[1], 5, 16384, np.random.default_rng(1))
 x1 = jnp.asarray(p1[None, :, :3]); x2 = jnp.asarray(p2[None, :, :3])
 
 t0 = time.time()

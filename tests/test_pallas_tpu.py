@@ -795,6 +795,30 @@ class TestBallPallasTpu:
         assert nf.shape == (1, 128, 32)
         assert np.isfinite(np.asarray(nf)).all()
 
+    def test_pn2mid_megakernel_matches_xla(self, rng, monkeypatch):
+        """Pointnet2FeatureAbstract eval with the sa2..fp2 megakernel
+        (pn2mid_tpu, real Mosaic) vs the pure-XLA path, same params.
+        The kernel's internal shapes are architecture-fixed ([B,1024,*]),
+        so input N only sizes the XLA sa1/fp1 stages."""
+        from pci_tpu.nn import pointnet2 as p2
+
+        ffab = p2.Pointnet2FeatureAbstract(64)
+        xyz = jnp.asarray(
+            rng.standard_normal((1, 4096, 3)).astype(np.float32) * 2
+        )
+        vars_ = jax.jit(
+            lambda: ffab.init(jax.random.key(0), xyz, train=False)
+        )()
+        monkeypatch.setattr(p2, "_pn2mid_ok", lambda train: False)
+        want = np.asarray(ffab.apply(vars_, xyz, train=False))
+        monkeypatch.setattr(p2, "_pn2mid_ok", lambda train: not train)
+        got = np.asarray(ffab.apply(vars_, xyz, train=False))
+        assert np.isfinite(got).all()
+        # ball/kNN boundary ties may swap a handful of neighbors between
+        # the kernel's VPU distances and XLA's HIGHEST-precision matmul
+        # form; GroupNorm + relu keep the survivors close
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
 
 @requires_tpu
 class TestMaskedCellsTpu:
