@@ -537,12 +537,15 @@ class TestModelLevelAccuracyTpu:
 
 @requires_tpu
 class TestFusedAttentionTpu:
-    def test_transformer_fused_matches_xla_path(self, rng):
+    def test_transformer_fused_matches_xla_path(self, rng, monkeypatch):
         """TransformerLayer train=False (fused Pallas tail) vs train=True
-        (XLA expression) on the same params/inputs — no BN in the block,
-        so train only gates the kernel routing."""
+        pinned to the XLA expression (PCI_TPU_FUSED_ATTN_TRAIN=0 — since
+        r4 the TPU train path defaults to the flash-style trainable
+        kernel, which also returns attn=None) on the same params/inputs —
+        no BN in the block, so train only gates the kernel routing."""
         from pci_tpu import nn as pnn
 
+        monkeypatch.setenv("PCI_TPU_FUSED_ATTN_TRAIN", "0")
         tr = pnn.TransformerLayer(64, 16)
         xyz = jnp.asarray(rng.standard_normal((1, 512, 3)).astype(np.float32) * 4)
         feats = jnp.asarray(rng.standard_normal((1, 512, 64)).astype(np.float32))
