@@ -60,7 +60,8 @@ def main():
 
     policy.set_compute_dtype(args.policy)
     from pci_tpu.train import (
-        create_train_state, make_interp_train_step, make_optimizer,
+        create_train_state, freeze_params, make_interp_train_step,
+        make_optimizer,
     )
 
     B, N, field = args.batch, args.npoints, args.field
@@ -106,6 +107,7 @@ def main():
 
     @jax.jit
     def fwd_loss(params, bs, key):
+        params = freeze_params(params, ("flow",))
         out, _ = model.apply(
             {"params": params, "batch_stats": bs},
             batch["forward"], batch["keys"], batch["backward"],
@@ -124,7 +126,8 @@ def main():
                 args.reps, f"ISAPCInet f{field} grad (fwd+bwd)")
 
     step = jax.jit(make_interp_train_step(model, optimizer,
-                                          remat=args.remat))
+                                          remat=args.remat,
+                                          freeze_subtrees=("flow",)))
     _time_fetch(lambda s: step(s, batch, key, momentum)[1]["loss"],
                 (state,), args.reps,
                 f"ISAPCInet f{field} FULL train step"
@@ -143,6 +146,7 @@ def main():
     @jax.jit
     def pstep(params, bs, key):
         def loss_fn(params):
+            params = freeze_params(params, ("flow",))
             out, nv = pmodel.apply(
                 {"params": params, "batch_stats": bs}, p1, p2, zeros,
                 zeros, ts, train=True, momentum=momentum,

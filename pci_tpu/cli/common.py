@@ -203,7 +203,8 @@ def run_interp_training(args, model, variables, dataset):
 
     step_fn = jax.jit(
         make_interp_train_step(
-            model, optimizer, remat=bool(getattr(args, "remat", False))
+            model, optimizer, remat=bool(getattr(args, "remat", False)),
+            freeze_subtrees=("flow",) if args.freeze else (),
         ),
         donate_argnums=(0,),
     )

@@ -45,7 +45,8 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def make_train_step(model, optimizer, remat: bool = False):
+def make_train_step(model, optimizer, remat: bool = False,
+                    freeze_subtrees: tuple[str, ...] = ()):
     def step(state, batch, rng, momentum):
         def fwd(params, ini_pc, end_pc, color, t, rng):
             return model.apply(
@@ -59,6 +60,9 @@ def make_train_step(model, optimizer, remat: bool = False):
             fwd = jax.checkpoint(fwd)
 
         def loss_fn(params):
+            from ..train import freeze_params
+
+            params = freeze_params(params, freeze_subtrees)
             out, new_vars = fwd(
                 params, batch["ini_pc"], batch["end_pc"], batch["color"],
                 batch["t"], rng,
@@ -119,7 +123,8 @@ def main(argv=None):
         freeze_subtrees=("flow",) if args.freeze else (),
     )
     state = create_train_state(variables["params"], variables["batch_stats"], optimizer)
-    step_fn = jax.jit(make_train_step(model, optimizer, remat=args.remat),
+    step_fn = jax.jit(make_train_step(model, optimizer, remat=args.remat,
+                                      freeze_subtrees=("flow",) if args.freeze else ()),
                       donate_argnums=(0,))
 
     logger = MetricLogger(args.log_dir, use_wandb=args.use_wandb, config=vars(args))

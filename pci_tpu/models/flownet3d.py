@@ -85,7 +85,14 @@ class FlowNet3D(nn.Module):
         p_1, f_1, p_2, f_2), reusable across every pair the cloud
         appears in."""
         kw = dict(train=train, momentum=momentum)
-        if _enc_ok(train) and not self.is_initializing():
+        if (
+            _enc_ok(train)
+            and not self.is_initializing()
+            # no-VJP kernel: fall back to XLA when a tangent could flow
+            # (frozen-flow callers stop-grad the flow params at the loss,
+            # train.state.freeze_params, so they KEEP the kernel route)
+            and not ops.has_tangents(xyz, feats, self.variables["params"])
+        ):
             return self._encode_fused(xyz, feats)
         p_1, f_1 = self.set_conv1(xyz, feats, **kw)
         p_2, f_2 = self.set_conv2(p_1, f_1, **kw)
@@ -123,7 +130,11 @@ class FlowNet3D(nn.Module):
         kw = dict(train=train, momentum=momentum)
         xyza, featsa, pa_1, fa_1, pa_2, fa_2 = enc_a
         _, _, _, _, pb_2, fb_2 = enc_b
-        if _mid_ok(train) and not self.is_initializing():
+        if (
+            _mid_ok(train)
+            and not self.is_initializing()
+            and not ops.has_tangents(enc_a, enc_b, self.variables["params"])
+        ):
             return self._decode_fused(
                 xyza, featsa, pa_1, fa_1, pa_2, fa_2, pb_2, fb_2
             )

@@ -269,7 +269,9 @@ def _apply_fusion_tail(module, mlp, combined, resi, extra, train,
     """Shared routed/XLA attention head for both fusion variants.
 
     Returns ``[B, N, 3 + Ce]`` fused rows (Ce = extra channels or 0)."""
-    if _fusion_tail_ok(train):
+    if _fusion_tail_ok(train) and not ops.has_tangents(
+        combined, resi, extra, module.variables.get("params", {})
+    ):  # no-VJP kernel: XLA fallback when a tangent could flow
         from ..ops.pallas_kernels.fusion_tail_tpu import (
             fusion_attention_tail,
         )
@@ -383,7 +385,9 @@ class PointsFusion(nn.Module):
         )
 
         if _cells_route_ok(points1, k, train):
-            if _fusion_oneshot_ok(train):
+            if _fusion_oneshot_ok(train) and not ops.has_tangents(
+                combined, self.variables.get("params", {})
+            ):  # no-VJP one-shot kernel
                 from ..ops.pallas_kernels import knn_fusion_cells
 
                 return knn_fusion_cells(
@@ -402,7 +406,9 @@ class PointsFusion(nn.Module):
                 knn_fusion_attention,
             )
 
-            if _fusion_oneshot_ok(train):
+            if _fusion_oneshot_ok(train) and not ops.has_tangents(
+                combined, self.variables.get("params", {})
+            ):  # no-VJP one-shot kernel
                 # kNN + attention head in ONE kernel (online softmax)
                 seg_ends = jnp.stack(
                     [N1, jnp.full_like(N1, N)], axis=1)
@@ -464,7 +470,10 @@ class PointsFusionWithFeatures(nn.Module):
         )
 
         if _cells_route_ok(points1, k, train):
-            if _fusion_oneshot_ok(train):
+            if _fusion_oneshot_ok(train) and not ops.has_tangents(
+                combined, combined_feats,
+                self.variables.get("params", {})
+            ):  # no-VJP one-shot kernel
                 from ..ops.pallas_kernels import knn_fusion_cells
 
                 return knn_fusion_cells(
@@ -485,7 +494,10 @@ class PointsFusionWithFeatures(nn.Module):
                 knn_fusion_attention,
             )
 
-            if _fusion_oneshot_ok(train):
+            if _fusion_oneshot_ok(train) and not ops.has_tangents(
+                combined, combined_feats,
+                self.variables.get("params", {})
+            ):  # no-VJP one-shot kernel
                 # kNN + attention head + payload reduce in ONE kernel
                 seg_ends = jnp.stack([N1, jnp.full_like(N1, N)], axis=1)
                 budgets = jnp.stack([k1, k2], axis=1)

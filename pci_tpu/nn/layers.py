@@ -126,7 +126,9 @@ class SetConv(nn.Module):
         new_xyz = ops.fps_points(
             xyz, self.npoint, fps_start(self, xyz, train), exact=self.fps_exact
         )
-        if _setconv_ok(train, self.nsample):
+        if _setconv_ok(train, self.nsample) and not ops.has_tangents(
+            xyz, feats, self.variables.get("params", {})
+        ):  # no-VJP kernel: XLA fallback when a tangent could flow
             from ..ops.pallas_kernels.setconv_tpu import setconv_fused
 
             cin = 3 + feats.shape[-1]
@@ -158,7 +160,9 @@ class FlowEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, xyz1, xyz2, feats1, feats2, *, train=False, momentum=0.1):
-        if _knnconv_ok(xyz2, train):
+        if _knnconv_ok(xyz2, train) and not ops.has_tangents(
+            xyz1, xyz2, feats1, feats2, self.variables.get("params", {})
+        ):
             from ..ops.pallas_kernels.knnconv_tpu import knnconv_fused
 
             cin = 3 + feats2.shape[-1] + feats1.shape[-1]
@@ -196,7 +200,10 @@ class SetUpConv(nn.Module):
     def __call__(
         self, coarse_xyz, dense_xyz, coarse_feats, dense_feats, *, train=False, momentum=0.1
     ):
-        if _knnconv_ok(coarse_xyz, train):
+        if _knnconv_ok(coarse_xyz, train) and not ops.has_tangents(
+            coarse_xyz, dense_xyz, coarse_feats, dense_feats,
+            self.variables.get("params", {})
+        ):
             from ..ops.pallas_kernels.knnconv_tpu import knnconv_fused
 
             dt = policy.compute_dtype()
@@ -243,7 +250,10 @@ class FeaturePropagation(nn.Module):
     def __call__(
         self, sub_xyz, dense_xyz, sub_feats, dense_feats, *, train=False, momentum=0.1
     ):
-        if _knnconv_ok(sub_xyz, train):
+        if _knnconv_ok(sub_xyz, train) and not ops.has_tangents(
+            sub_xyz, dense_xyz, sub_feats, dense_feats,
+            self.variables.get("params", {})
+        ):
             from ..ops.pallas_kernels.knnconv_tpu import knnconv_fused
 
             cin = sub_feats.shape[-1] + dense_feats.shape[-1]

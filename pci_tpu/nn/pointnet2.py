@@ -131,7 +131,14 @@ class Pointnet2FeatureAbstract(nn.Module):
         sa4 = SetAbstractionMsg(16, [0.8, 1.6], [16, 32], [[256, 256, 512], [256, 384, 512]], name="sa4")
 
         l1_xyz, l1_f = sa1(xyz, None, **kw)
-        if _pn2mid_ok(train) and not self.is_initializing():
+        if (
+            _pn2mid_ok(train)
+            and not self.is_initializing()
+            # no-VJP megakernel: XLA fallback when a tangent could flow
+            and not ops.has_tangents(
+                l1_xyz, l1_f, self.variables.get("params", {})
+            )
+        ):
             l1_f = self._mid_fused(l1_xyz, l1_f)
         else:
             l2_xyz, l2_f = sa2(l1_xyz, l1_f, **kw)

@@ -100,6 +100,12 @@ class TransformerLayer(nn.Module):
             jax.default_backend() == "tpu"
             and not train
             and self.d_model % 8 == 0
+            # eval tail has no VJP: fall back to the XLA expression when
+            # a tangent could flow (the trainable fused kernel below
+            # covers train=True; frozen callers stop-grad their params)
+            and not ops.has_tangents(
+                xyz, feats, self.variables.get("params", {})
+            )
         )
 
         pre = feats

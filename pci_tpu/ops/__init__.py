@@ -6,6 +6,7 @@ CUDA/C++ (pytorch3d kNN + chamfer, PyTorchEMD auction, Open3D FPS) plus its
 pure-torch primitives, re-designed for XLA/MXU.
 """
 
+from .autodiff import has_tangents
 from .ball import ball_query, ball_query_multi
 from .chamfer import (
     chamfer_distance,
@@ -23,6 +24,7 @@ from .knn import cells_eligible, knn, knn_points, knn_prefix, knn_self_resi
 from .polyfit import polyfit_eval, polyfit_eval_xyz
 
 __all__ = [
+    "has_tangents",
     "ball_query",
     "ball_query_multi",
     "chamfer_distance",

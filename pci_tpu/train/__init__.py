@@ -20,6 +20,7 @@ from .state import (
     bn_momentum_schedule,
     clipped_step_lr,
     create_train_state,
+    freeze_params,
     make_optimizer,
 )
 
@@ -36,6 +37,7 @@ __all__ = [
     "make_interp_train_step",
     "make_sceneflow_train_step",
     "TrainState",
+    "freeze_params",
     "bn_momentum_schedule",
     "clipped_step_lr",
     "create_train_state",

@@ -14,12 +14,12 @@ import jax.numpy as jnp
 import optax
 
 from .. import ops
-from .state import TrainState
+from .state import TrainState, freeze_params
 
 
 def make_interp_train_step(
     model, optimizer: optax.GradientTransformation, remat: bool = False,
-    mesh=None,
+    mesh=None, freeze_subtrees: tuple[str, ...] = (),
 ) -> Callable:
     """Train step for interpolation models (ISAPCInet / PointINet2 style
     batches: forward/key/backward frame lists + t + gt).
@@ -37,6 +37,11 @@ def make_interp_train_step(
     (parallel.ring) — key shards ride the ICI ring via ppermute instead
     of GSPMD all-gathering the [N, N] distance matrix.  Gradients match
     the single-device loss (tests/test_parallel.py).
+
+    ``freeze_subtrees``: param subtrees to ``stop_gradient`` inside the
+    loss (pass the same tuple given to ``make_optimizer``) — kills the
+    frozen subtrees' cotangent compute AND keeps their eval-routed
+    Pallas megakernels routable under grad (see state.freeze_params).
     """
     ring_points = (
         mesh is not None
@@ -58,6 +63,7 @@ def make_interp_train_step(
             fwd = jax.checkpoint(fwd)
 
         def loss_fn(params):
+            params = freeze_params(params, freeze_subtrees)
             out, new_vars = fwd(
                 params, batch["forward"], batch["keys"], batch["backward"],
                 batch["t"], batch["ini"], rng,

@@ -78,6 +78,31 @@ def make_optimizer(
     )
 
 
+def freeze_params(params, freeze_subtrees: tuple[str, ...] = ()):
+    """``stop_gradient`` every frozen subtree (same any-nesting-level
+    matching as :func:`make_optimizer`).
+
+    Apply this INSIDE the differentiated loss fn: tangents die at the
+    source, so (a) XLA never computes the frozen subtree's cotangents
+    (the optimizer would zero them anyway) and (b) the frozen
+    submodule's eval-routed Pallas kernels — which define no VJP — stay
+    routable under ``jax.grad`` (the r5 bench_train crash: flow runs
+    train=False inside the fine-tune step, routes the flowenc/flowmid
+    megakernels, and the full-param-tree grad sent tangents into them).
+    """
+    if not freeze_subtrees:
+        return params
+
+    def build(subtree, prefix):
+        if isinstance(subtree, dict):
+            return {k: build(v, prefix + (k,)) for k, v in subtree.items()}
+        if any(k in freeze_subtrees for k in prefix):
+            return jax.lax.stop_gradient(subtree)
+        return subtree
+
+    return build(params, ())
+
+
 def create_train_state(params, batch_stats, optimizer) -> TrainState:
     return TrainState(
         params=params,

@@ -330,3 +330,82 @@ class TestBidirectionalFlow:
             np.testing.assert_allclose(
                 np.asarray(s), np.asarray(b), rtol=1e-5, atol=1e-6
             )
+
+
+class TestAutodiffRouting:
+    """Eval-only Pallas kernels define no VJP: routing one inside a
+    differentiated trace crashed the r5 bench_train (the frozen-flow
+    fine-tune step differentiates the FULL param tree, so tangents rode
+    the flow params into the flowenc megakernel).  Two-layer fix under
+    test: (a) gates fall back to XLA when ops.has_tangents, (b)
+    train.freeze_params stop-grads frozen subtrees at the loss so the
+    megakernels stay ROUTABLE in a frozen-flow train step."""
+
+    def test_grad_with_gates_on_falls_back_to_xla(self, rng, monkeypatch):
+        from pci_tpu.models import flownet3d as F
+
+        net = FlowNet3D()
+        x1, x2 = cloud(rng), cloud(rng)
+        vars_ = net.init(
+            jax.random.key(0), x1, x2, zeros(), zeros(), train=False
+        )
+
+        def loss(p):
+            flow = net.apply(
+                {"params": p, "batch_stats": vars_["batch_stats"]},
+                x1, x2, zeros(), zeros(), train=False,
+            )
+            return jnp.mean(flow**2)
+
+        want = jax.grad(loss)(vars_["params"])
+        monkeypatch.setattr(F, "_enc_ok", lambda train: not train)
+        monkeypatch.setattr(F, "_mid_ok", lambda train: not train)
+        got = jax.grad(loss)(vars_["params"])  # crashed before the gate fix
+        for a, b in zip(
+            jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_frozen_flow_keeps_megakernel_route(self, rng, monkeypatch):
+        from pci_tpu.models import flownet3d as F
+        from pci_tpu.train import freeze_params
+
+        net = PointINet(freeze_flow=True)
+        p1, p2 = cloud(rng), cloud(rng)
+        t = jnp.asarray([0.3, 0.6])
+        rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+        vars_ = net.init(rngs, p1, p2, zeros(), zeros(), t, train=False)
+
+        monkeypatch.setattr(F, "_enc_ok", lambda train: not train)
+        calls = {"fused": 0}
+        orig = FlowNet3D._encode_fused
+
+        def record(self, xyz, feats):
+            calls["fused"] += 1
+            return orig(self, xyz, feats)
+
+        monkeypatch.setattr(FlowNet3D, "_encode_fused", record)
+
+        def loss(params):
+            params = freeze_params(params, ("flow",))
+            out = net.apply(
+                {"params": params, "batch_stats": vars_["batch_stats"]},
+                p1, p2, zeros(), zeros(), t, train=False,
+                rngs={"sample": jax.random.key(2)},
+            )
+            return jnp.mean(out[..., :3] ** 2)
+
+        g = jax.grad(loss)(vars_["params"])
+        # the stop-grad'd flow kept the kernel route under jax.grad
+        assert calls["fused"] >= 2  # bidirectional flow = 2+ encodes
+        flow_total = sum(
+            float(jnp.abs(l).sum())
+            for l in jax.tree_util.tree_leaves(g["flow"])
+        )
+        other_total = sum(
+            float(jnp.abs(l).sum())
+            for k, v in g.items() if k != "flow"
+            for l in jax.tree_util.tree_leaves(v)
+        )
+        assert flow_total == 0.0
+        assert np.isfinite(other_total) and other_total > 0

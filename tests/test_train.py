@@ -160,3 +160,28 @@ class TestMultiDevice:
         assert float(m_sharded["loss"]) == pytest.approx(
             float(m_single["loss"]), rel=1e-4
         )
+
+
+def test_freeze_params_stops_gradients():
+    """freeze_params stop-grads frozen subtrees at any nesting level
+    (same matching as make_optimizer), zeroing their grads at the
+    source — and keeping no-VJP eval kernels routable under grad."""
+    from pci_tpu.train import freeze_params
+
+    params = {
+        "flow": {"w": jnp.ones((3,))},
+        "nested": {"flow": {"w": jnp.ones((2,))}, "live": jnp.ones((2,))},
+        "head": {"w": jnp.ones((3,))},
+    }
+
+    def loss(p):
+        p = freeze_params(p, ("flow",))
+        return sum(
+            jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(p)
+        )
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["flow"]["w"]).sum()) == 0.0
+    assert float(jnp.abs(g["nested"]["flow"]["w"]).sum()) == 0.0
+    np.testing.assert_array_equal(np.asarray(g["nested"]["live"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(g["head"]["w"]), 1.0)
