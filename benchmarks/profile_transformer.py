@@ -58,7 +58,10 @@ def main():
 
     # --- selection kernels --------------------------------------------
     def knn_cells_self(x, c):
-        y = x + c  # ONE binding: query is points -> cells route
+        # ops.knn detects self-ness OUTSIDE its jit boundary (r5 fix in
+        # ops/knn.py), so the duplicated binding routes to the cells
+        # kernel at N>=32k on TPU
+        y = x + c
         return ops.knn(y, y, k)[1].astype(jnp.float32)
 
     _slope(knn_cells_self, (xM,), reps, f"self-kNN cells idx-only @{N}")
@@ -82,7 +85,9 @@ def main():
     ).astype(policy.compute_dtype())
 
     def gath(x, kvv, ii, c):
-        g_xyz, g_feats = gather_split(x, kvv + c, ii)
+        # c is fp32: cast before the add or the bf16 KV block silently
+        # promotes to fp32 and the row times a never-executed variant
+        g_xyz, g_feats = gather_split(x, kvv + c.astype(kvv.dtype), ii)
         # sum BOTH outputs into the timing reduction or one gather is DCE'd
         return (
             jnp.sum(g_xyz, axis=(2, 3))
@@ -104,7 +109,7 @@ def main():
     interp = jax.default_backend() != "tpu"  # CPU smoke runs in interpret
     _slope(
         lambda qq, gg, dd, c: fused_vector_attention(
-            qq + c, gg, dd, *tail, interpret=interp),
+            qq + c.astype(qq.dtype), gg, dd, *tail, interpret=interp),
         (q, g, delta), reps, f"fused tail @{N} k{k} d{d}",
     )
 

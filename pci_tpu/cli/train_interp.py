@@ -60,8 +60,6 @@ def make_train_step(model, optimizer, remat: bool = False,
             fwd = jax.checkpoint(fwd)
 
         def loss_fn(params):
-            from ..train import freeze_params
-
             params = freeze_params(params, freeze_subtrees)
             out, new_vars = fwd(
                 params, batch["ini_pc"], batch["end_pc"], batch["color"],

@@ -32,13 +32,27 @@ _AD_TRACERS = tuple(
     )
     if t is not None
 )
+if not _AD_TRACERS:  # pragma: no cover
+    raise ImportError(
+        "jax no longer exposes JVPTracer/LinearizeTracer under "
+        "jax._src.interpreters.ad — has_tangents would silently return "
+        "False and re-enable the no-VJP pallas trace crash; update "
+        "pci_tpu/ops/autodiff.py for this jax version."
+    )
 
 
 def has_tangents(*trees) -> bool:
     """True if any leaf of ``trees`` carries a (possibly) nonzero AD
     tangent — i.e. routing an eval-only (no-VJP) Pallas kernel on these
     inputs would crash the trace.  ``stop_gradient``-ed and constant
-    leaves return False, so frozen subtrees stay on the kernel path."""
+    leaves return False, so frozen subtrees stay on the kernel path.
+
+    BLIND SPOT: only the innermost trace is visible — inside a nested
+    jaxpr-forming transform (jax.checkpoint/remat, an inner jit, scan,
+    vmap) every leaf is a DynamicJaxprTracer and this returns False.
+    The gates are therefore a SECOND line of defense; the first is
+    train.state.freeze_params, applied OUTSIDE any checkpoint wrapper
+    (train/loop.py does), which kills the tangents themselves."""
     return any(
         isinstance(leaf, _AD_TRACERS)
         for tree in trees

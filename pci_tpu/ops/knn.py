@@ -86,7 +86,6 @@ def _knn_tiled(query, points, k, tile, exact):
     return best_d, best_i
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
 def knn(query: jax.Array, points: jax.Array, k: int, exact: bool = False):
     """kNN of ``query`` into ``points``.
 
@@ -108,10 +107,20 @@ def knn(query: jax.Array, points: jax.Array, k: int, exact: bool = False):
     contract-exact.  Consumers that divide by or compare distances should
     recompute them from ``idx`` (see ops/interpolate.py, ops/chamfer.py).
     """
-    # preserve object identity for the self-kNN case: knn_cells keys its
+    # Self-ness MUST be decided here, OUTSIDE the jit boundary: a jitted
+    # impl receives two distinct tracers for a duplicated argument, so
+    # ``query is points`` inside is always False (the r3 lesson,
+    # CLAUDE.md) — which silently disabled the cells self-route for every
+    # ops.knn(x, x, k) caller until r5.
+    return _knn_impl(query, points, k, exact, query is points)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _knn_impl(query, points, k: int, exact: bool, self_query: bool):
+    # rebind to ONE object for the self case: knn_cells keys its
     # shared-sort/forced-cover-chunk path on ``query is points``, and two
     # separate stop_gradient calls would produce distinct tracers
-    if query is points:
+    if self_query:
         query = points = lax.stop_gradient(points)
     else:
         query = lax.stop_gradient(query)
