@@ -10,7 +10,7 @@
 #   bench   — one more routed bench.py for the record
 set -x
 cd "$(dirname "$0")/.."
-STAGES="${@:-fixtest train attnab trprof fusionw bench}"
+STAGES="${@:-fixtest train attnab trprof models fusionw bench}"
 LOG=results/logs/r5_followup_$(date +%m%d_%H%M)
 mkdir -p "$LOG"
 
@@ -45,6 +45,7 @@ case $s in
   train)   run train 2400 python -m benchmarks.bench_train ;;
   attnab)  run attnab 2400 env PCI_TPU_FUSED_ATTN_TRAIN=0 python -m benchmarks.bench_train ;;
   trprof)  run trprof 2400 python -m benchmarks.profile_transformer ;;
+  models)  run models 2400 python -m benchmarks.profile_models ;;  # f1/f2 e2e POST route-fix (decodeab's 62.69 predates ab736f2)
   fusionw) run fusionw 1800 env PCI_TPU_MID_KERNEL=1 PCI_TPU_ENC_KERNEL=1 \
              PCI_TPU_FUSION_ONESHOT=1 PCI_TPU_FUSION_BUCKET=64 \
              PCI_TPU_FUSION_WINNERS=2 python bench.py ;;
