@@ -48,6 +48,40 @@ class TestNativeFps:
     def test_native_lib_builds(self):
         assert native.have_native(), "C++ native lib failed to build"
 
+    def test_fps_subsample_cache_hits_and_matches(self, tmp_path, monkeypatch):
+        """The content-keyed FPS index cache is bit-identical to the
+        uncached path, skips the native kernel on a hit, and persists
+        through PCI_TPU_FPS_CACHE_DIR across fresh in-memory caches."""
+        from pci_tpu.data import lidar
+
+        rng = np.random.default_rng(3)
+        pts = rng.standard_normal((300, 4)).astype(np.float32)
+        monkeypatch.setattr(lidar, "_fps_cache", {})
+        monkeypatch.setenv("PCI_TPU_FPS_CACHE_DIR", str(tmp_path / "fpscache"))
+        calls = []
+        real = lidar.native.fps_indices
+        monkeypatch.setattr(
+            lidar.native, "fps_indices",
+            lambda *a, **k: (calls.append(1), real(*a, **k))[1],
+        )
+        monkeypatch.setenv("PCI_TPU_FPS_CACHE_MAX", "0")
+        want = lidar.fps_subsample(pts, 64)
+        assert len(calls) == 1  # cache disabled: native ran
+        monkeypatch.setenv("PCI_TPU_FPS_CACHE_MAX", "8192")
+        got1 = lidar.fps_subsample(pts, 64)
+        got2 = lidar.fps_subsample(pts, 64)
+        assert len(calls) == 2  # one miss, then a memory hit
+        np.testing.assert_array_equal(got1, want)
+        np.testing.assert_array_equal(got2, want)
+        # fresh process-level cache: disk satisfies the miss
+        monkeypatch.setattr(lidar, "_fps_cache", {})
+        got3 = lidar.fps_subsample(pts, 64)
+        assert len(calls) == 2  # no new native call
+        np.testing.assert_array_equal(got3, want)
+        # different content is a different key
+        lidar.fps_subsample(pts + 1.0, 64)
+        assert len(calls) == 3
+
     def test_voxel_downsample(self):
         rng = np.random.default_rng(0)
         pts = (rng.standard_normal((500, 3)) * 5).astype(np.float32)
