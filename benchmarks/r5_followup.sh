@@ -8,9 +8,16 @@
 #   attnab  — bench_train with the trainable fused attention OFF (A/B)
 #   trprof  — transformer 64k block attribution (profile_transformer)
 #   bench   — one more routed bench.py for the record
+#   trainf2b — RESUME the flagship f2 training to the full 60 epochs with
+#             the content-keyed FPS cache (d9185ca): the chip-program run
+#             paid ~9.5 s/step of host FPS (1 vCPU); with the cache warm,
+#             epochs drop from ~780 s to ~60 s, so the remaining ~47
+#             epochs fit in ~1.5 h including the warmup epoch
+#   evalf2b — re-eval best checkpoint + baselines after the full train
+#   benchfinal — routed bench.py for the record after everything
 set -x
 cd "$(dirname "$0")/.."
-STAGES="${@:-fixtest train attnab trprof models fusionw bench}"
+STAGES="${@:-fixtest train attnab trprof models fusionw bench trainf2b evalf2b benchfinal}"
 LOG=results/logs/r5_followup_$(date +%m%d_%H%M)
 mkdir -p "$LOG"
 
@@ -50,5 +57,33 @@ case $s in
              PCI_TPU_FUSION_ONESHOT=1 PCI_TPU_FUSION_BUCKET=64 \
              PCI_TPU_FUSION_WINNERS=2 python bench.py ;;
   bench)   run bench 1800 python bench.py ;;
+  trainf2b)
+    SYNTH=runs/synth_scenes
+    run trainf2b 7200 env PCI_TPU_FPS_CACHE_DIR=runs/.fps_cache \
+      python -m pci_tpu.cli.train --model isapci --field 2 \
+      --npoints 16384 --interval 3 --epochs 60 \
+      --root $SYNTH/lidar --scenes_list $SYNTH/train.txt \
+      --scene_split_lib $SYNTH/split \
+      --pretrained_flow_model results/checkpoints/flownet3d_synth16k \
+      --save_dir results/checkpoints/isapci_f2_train \
+      --log_dir results/logs --resume ;;
+  evalf2b)
+    SYNTH=runs/synth_scenes
+    BEST=$(python - <<'EOF'
+from pci_tpu.train.checkpoints import BestKeeper
+p = BestKeeper.best_path("results/checkpoints/isapci_f2_train", "field_2")
+print(p or "")
+EOF
+)
+    if [ -n "$BEST" ]; then
+      run evalf2b 2400 env PCI_TPU_FPS_CACHE_DIR=runs/.fps_cache \
+        python -m pci_tpu.cli.test --field 2 --npoints 16384 \
+        --interval 3 --root $SYNTH/lidar --scenes_list $SYNTH/val.txt \
+        --scene_split_lib $SYNTH/split --pretrained_self_model "$BEST" \
+        --log_dir results/logs
+    else
+      echo "evalf2b: no field_2 checkpoint" | tee -a "$LOG/summary.txt"
+    fi ;;
+  benchfinal) run benchfinal 1800 python bench.py ;;
 esac; done
 echo "followup done; logs in $LOG"
