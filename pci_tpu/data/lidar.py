@@ -97,7 +97,12 @@ def _fps_cache_key(points: np.ndarray, npoints: int, start: int):
 
 
 def _fps_disk_path(key) -> str | None:
+    # default: pick up a prewarmed runs/.fps_cache when cwd is the repo
+    # root (pure-function cache — contents are digest-keyed, so a stale
+    # or foreign dir can only miss, never corrupt)
     d = os.environ.get("PCI_TPU_FPS_CACHE_DIR")
+    if d is None and os.path.isdir("runs/.fps_cache"):
+        d = "runs/.fps_cache"
     if not d:
         return None
     digest, shape, _, npoints, start = key
