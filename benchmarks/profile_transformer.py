@@ -126,6 +126,48 @@ def main():
     _slope(f_resi, (tv, xM, featsM), reps, f"layer @{N} [resi kernel route]")
     os.environ.pop("PCI_TPU_TR_RESI", None)
 
+    # --- compose: rebuild the layer incrementally to attribute the gap
+    # between sum-of-pieces (knn 8.26 + gather 5.70 + tail 1.26 ~= 15.2
+    # ms @64k, r5 followup) and the full layer (25.51 ms) -------------
+    def c1(x, c):  # knn only
+        y = x + c
+        return ops.knn(y, y, k)[1].astype(jnp.float32)
+
+    def c2(x, kvv, c):  # knn + fused gather
+        y = x + c
+        _, ii = ops.knn(y, y, k)
+        g_xyz, g_f = gather_split(y, kvv, ii)
+        return jnp.sum(g_xyz, (2, 3)) + jnp.sum(g_f.astype(jnp.float32), (2, 3))
+
+    def c3(x, qq, kvv, c):  # + delta + fused tail (no projections)
+        y = x + c
+        _, ii = ops.knn(y, y, k)
+        g_xyz, g_f = gather_split(y, kvv, ii)
+        dd = y[:, :, None, :] - g_xyz
+        return fused_vector_attention(qq, g_f, dd, *tail, interpret=interp)
+
+    def c4(x, ft, c):  # full tail chain with fresh projections (no flax)
+        y = x + c
+        xx = ft @ w1
+        qq = xx @ wq
+        kvv = jnp.concatenate([xx @ wk, xx @ wv], axis=-1)
+        _, ii = ops.knn(y, y, k)
+        g_xyz, g_f = gather_split(y, kvv, ii)
+        dd = y[:, :, None, :] - g_xyz
+        res = fused_vector_attention(qq, g_f, dd, *tail, interpret=interp)
+        return (res @ w2).astype(jnp.float32) + ft.astype(jnp.float32)
+
+    w1 = jnp.asarray(rng.standard_normal((d, d)) * 0.1, cd)
+    wq = jnp.asarray(rng.standard_normal((d, d)) * 0.1, cd)
+    wk = jnp.asarray(rng.standard_normal((d, d)) * 0.1, cd)
+    wv = jnp.asarray(rng.standard_normal((d, d)) * 0.1, cd)
+    w2 = jnp.asarray(rng.standard_normal((d, d)) * 0.1, cd)
+    featsC = featsM.astype(cd)
+    _slope(c1, (xM,), reps, f"compose knn @{N}")
+    _slope(c2, (xM, kv), reps, f"compose knn+gather @{N}")
+    _slope(c3, (xM, q, kv), reps, f"compose knn+gather+tail @{N}")
+    _slope(c4, (xM, featsC), reps, f"compose full chain @{N}")
+
 
 if __name__ == "__main__":
     main()

@@ -14,7 +14,7 @@
 #   benchfinal2 — one routed bench.py for the record
 set -x
 cd "$(dirname "$0")/.."
-STAGES="${@:-fixtest2 trainbig evalbig benchfinal2}"
+STAGES="${@:-fixtest2 fusionw2 trgap trainbig evalbig benchfinal2}"
 LOG=results/logs/r5_final_$(date +%m%d_%H%M)
 mkdir -p "$LOG"
 SYNTH=runs/synth_scenes
@@ -55,6 +55,11 @@ gate || { echo "abort before stage $s" | tee -a "$LOG/summary.txt"; exit 1; }
 case $s in
   fixtest2) run fixtest2 1800 env PCI_TPU_TESTS=1 python -m pytest \
               tests/test_pallas_tpu.py -k transformer_fused -x -q ;;
+  fusionw2) # retry of the wedge-blocked followup fusionw: routed bench
+            # with the W=2 extraction so the CD gate rules on l=64/W=2
+    run fusionw2 1800 env PCI_TPU_MID_KERNEL=1 PCI_TPU_ENC_KERNEL=1 \
+      PCI_TPU_FUSION_ONESHOT=1 PCI_TPU_FUSION_BUCKET=64 \
+      PCI_TPU_FUSION_WINNERS=2 python bench.py ;;
   trainbig)
     BEST=$(best_f2 results/checkpoints/isapci_f2_train)
     if [ -z "$BEST" ]; then
@@ -84,5 +89,8 @@ case $s in
         | tee -a "$LOG/summary.txt"
     fi ;;
   benchfinal2) run benchfinal2 1800 python bench.py ;;
+  trgap) # attribute the ~10 ms gap between the 64k layer (25.51) and
+         # its measured pieces (15.2) via the compose rows
+    run trgap 2400 python -m benchmarks.profile_transformer ;;
 esac; done
 echo "r5_final done; logs in $LOG"
