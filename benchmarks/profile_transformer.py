@@ -163,6 +163,28 @@ def main():
     wv = jnp.asarray(rng.standard_normal((d, d)) * 0.1, cd)
     w2 = jnp.asarray(rng.standard_normal((d, d)) * 0.1, cd)
     featsC = featsM.astype(cd)
+    # bucket A/B for the selection route: l=32 halves the extraction
+    # candidate rows (n_cand = 2*M*C/l); attention is permutation-
+    # invariant over its k slots so ranking quantization is free — only
+    # recall matters (W=2 compensates; verify vs l=16 idx overlap)
+    from pci_tpu.ops.pallas_kernels.knn_cells_tpu import knn_cells
+
+    def knn_l32(x, c):
+        y = x + c
+        return knn_cells(y, y, k, m_chunks=16, tile=256, bucket=32)[1].astype(
+            jnp.float32)
+
+    if N >= 32768:
+        _slope(knn_l32, (xM,), reps, f"self-kNN cells l=32 @{N}")
+        i16 = jax.jit(lambda y: knn_cells(y, y, k, m_chunks=16, tile=256)[1])(xM)
+        i32 = jax.jit(
+            lambda y: knn_cells(y, y, k, m_chunks=16, tile=256, bucket=32)[1]
+        )(xM)
+        both = jnp.sum(
+            (i32[0, :, :, None] == i16[0, :, None, :]).any(-1).mean()
+        )
+        print(f"l=32 vs l=16 idx overlap: {float(both):.4f}", flush=True)
+
     _slope(c1, (xM,), reps, f"compose knn @{N}")
     _slope(c2, (xM, kv), reps, f"compose knn+gather @{N}")
     _slope(c3, (xM, q, kv), reps, f"compose knn+gather+tail @{N}")
